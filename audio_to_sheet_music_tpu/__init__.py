@@ -1,0 +1,25 @@
+"""audio_to_sheet_music_tpu — TPU-native text-conditioned music stem separation.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+``savage-hacker14/audio-to-sheet-music`` (AudioTextHTDemucs): frozen HTDemucs
+dual time/frequency encoders + cross-domain transformer, frozen CLAP text
+tower, trainable text cross-attention + single-stem decoders, spectrogram
+masking, chunked overlap-add full-song inference, config-driven training and
+a MusDB18 benchmark harness.
+
+Subpackages
+-----------
+- ``ops``      — DSP (STFT/iSTFT/CaC/overlap-add) and loss functions.
+- ``nn``       — functional neural-net primitives (explicit param pytrees).
+- ``models``   — HTDemucs, CLAP-text, and the AudioTextHTDemucs composition.
+- ``text``     — prompt templates and an offline byte-level BPE tokenizer.
+- ``convert``  — PyTorch checkpoint → JAX pytree weight converter.
+- ``data``     — MusDB18 host-side pipeline + synthetic fixtures.
+- ``train``    — jitted train step, optax optimizers, Orbax checkpoints.
+- ``infer``    — chunk-grid planner + batched overlap-add separation.
+- ``eval``     — benchmark harness emitting the reference JSON schema.
+- ``parallel`` — mesh/sharding helpers (pjit over data/chunk axes).
+- ``utils``    — config loading, plotting, optional wandb logging.
+"""
+
+__version__ = "0.1.0"
