@@ -1,0 +1,263 @@
+"""Functional NN primitives with explicit param pytrees.
+
+Design: every layer is a pair of pure functions — ``*_init(key, ...) ->
+params`` and an apply function ``f(params, x, ...) -> y``.  Params are plain
+nested dicts of ``jnp`` arrays stored in **torch layouts** (Linear ``(out,
+in)``, Conv ``(out, in, *k)``, ConvTranspose ``(in, out, *k)``) so the
+PyTorch-checkpoint converter (`convert/torch_import.py`) is a pure
+name-mapping with zero transposes.  XLA folds the transposes into the
+matmuls/convs at compile time, so this costs nothing on TPU.
+
+Numerical contracts match torch: exact (erf) GELU, GroupNorm/LayerNorm eps
+conventions, ``F.interpolate(align_corners=False)`` == half-pixel
+``jax.image.resize`` (all parity-tested in ``tests/test_nn.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+Params = dict
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"weight": _uniform(kw, (out_dim, in_dim), bound)}
+    if bias:
+        p["bias"] = _uniform(kb, (out_dim,), bound)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["weight"].astype(x.dtype).T
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (torch NC{T,HW} data layout, torch weight layouts)
+# ---------------------------------------------------------------------------
+
+def conv1d_init(key, in_ch, out_ch, kernel, bias=True) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_ch * kernel)
+    p = {"weight": _uniform(kw, (out_ch, in_ch, kernel), bound)}
+    if bias:
+        p["bias"] = _uniform(kb, (out_ch,), bound)
+    return p
+
+
+def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
+           dilation: int = 1) -> jnp.ndarray:
+    """x: (B, C, T); weight: (O, I, K)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["weight"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def conv2d_init(key, in_ch, out_ch, kernel: Sequence[int], bias=True) -> Params:
+    kw, kb = jax.random.split(key)
+    kh, kw_ = kernel
+    bound = 1.0 / math.sqrt(in_ch * kh * kw_)
+    p = {"weight": _uniform(kw, (out_ch, in_ch, kh, kw_), bound)}
+    if bias:
+        p["bias"] = _uniform(kb, (out_ch,), bound)
+    return p
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding=(0, 0),
+           dilation=(1, 1)) -> jnp.ndarray:
+    """x: (B, C, H, W); weight: (O, I, KH, KW)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["weight"].astype(x.dtype),
+        window_strides=tuple(stride),
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None, None]
+    return y
+
+
+def conv_transpose1d_init(key, in_ch, out_ch, kernel, bias=True) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_ch * kernel)
+    p = {"weight": _uniform(kw, (in_ch, out_ch, kernel), bound)}
+    if bias:
+        p["bias"] = _uniform(kb, (out_ch,), bound)
+    return p
+
+
+def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int = 1,
+                     padding: int = 0) -> jnp.ndarray:
+    """torch ConvTranspose1d semantics: out = (T-1)*s - 2p + k.
+
+    Implemented as an input-dilated convolution with the flipped kernel —
+    the standard transpose-conv-as-conv identity, which XLA lowers to an MXU
+    matmul per output tile.
+    """
+    w = p["weight"].astype(x.dtype)          # (I, O, K)
+    k = w.shape[-1]
+    w = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (O, I, K)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def conv_transpose2d_init(key, in_ch, out_ch, kernel: Sequence[int], bias=True) -> Params:
+    kw, kb = jax.random.split(key)
+    kh, kw_ = kernel
+    bound = 1.0 / math.sqrt(in_ch * kh * kw_)
+    p = {"weight": _uniform(kw, (in_ch, out_ch, kh, kw_), bound)}
+    if bias:
+        p["bias"] = _uniform(kb, (out_ch,), bound)
+    return p
+
+
+def conv_transpose2d(p: Params, x: jnp.ndarray, stride=(1, 1),
+                     padding=(0, 0)) -> jnp.ndarray:
+    """torch ConvTranspose2d semantics (per-dim): out = (L-1)*s - 2p + k."""
+    w = p["weight"].astype(x.dtype)          # (I, O, KH, KW)
+    kh, kw_ = w.shape[-2:]
+    w = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # (O, I, KH, KW)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=[(kh - 1 - padding[0], kh - 1 - padding[0]),
+                 (kw_ - 1 - padding[1], kw_ - 1 - padding[1])],
+        lhs_dilation=tuple(stride),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None, None]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalisation
+# ---------------------------------------------------------------------------
+
+def norm_affine_init(dim: int) -> Params:
+    return {"weight": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def group_norm(p: Params, x: jnp.ndarray, num_groups: int,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """torch GroupNorm over (B, C, *spatial): normalise within each group of
+    channels jointly with all spatial dims.  Stats in f32."""
+    orig_dtype = x.dtype
+    b, c = x.shape[:2]
+    spatial = x.shape[2:]
+    xf = x.astype(jnp.float32).reshape(b, num_groups, -1)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, c, *spatial)
+    shape = (1, c) + (1,) * len(spatial)
+    xf = xf * p["weight"].reshape(shape) + p["bias"].reshape(shape)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch LayerNorm over the last dim.  Stats in f32."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * p["weight"] + p["bias"]
+    return xf.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations / misc
+# ---------------------------------------------------------------------------
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch ``GELU(approximate='none')``."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def glu(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """torch GLU: split in half along ``axis``, a * sigmoid(b)."""
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def layer_scale_init(channels: int, init: float = 0.0) -> Params:
+    return {"scale": jnp.full((channels,), init, jnp.float32)}
+
+
+def layer_scale(p: Params, x: jnp.ndarray, channel_last: bool = False) -> jnp.ndarray:
+    """demucs LayerScale: per-channel learned scale."""
+    s = p["scale"].astype(x.dtype)
+    if channel_last:
+        return s * x
+    return s[:, None] * x if x.ndim == 3 else s.reshape(-1, *([1] * (x.ndim - 2))) * x
+
+
+def embedding_init(key, num: int, dim: int) -> Params:
+    return {"weight": jax.random.normal(key, (num, dim), jnp.float32)}
+
+
+def embedding(p: Params, idx: jnp.ndarray) -> jnp.ndarray:
+    return p["weight"][idx]
+
+
+def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool = True) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Interpolation (torch F.interpolate, align_corners=False)
+# ---------------------------------------------------------------------------
+
+def interpolate_linear(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(B, C, T) -> (B, C, size); torch 'linear', align_corners=False."""
+    if x.shape[-1] == size:
+        return x
+    return jax.image.resize(x, (*x.shape[:-1], size), method="linear",
+                            antialias=False)
+
+
+def interpolate_bilinear(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, C, *size); torch 'bilinear', align_corners=False."""
+    if tuple(x.shape[-2:]) == tuple(size):
+        return x
+    return jax.image.resize(x, (*x.shape[:-2], *size), method="linear",
+                            antialias=False)

@@ -1,0 +1,168 @@
+"""Primitive parity vs torch: conv/convtranspose/norms/MHA/GELU/interpolate."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from audio_to_sheet_music_tpu import nn as jnn
+
+ATOL = 2e-5
+
+
+def to_j(params_torch):
+    """torch module state_dict -> our param dict (same names/layouts)."""
+    out = {}
+    for name, t in params_torch.items():
+        node = out
+        parts = name.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(t.detach().numpy())
+    return out
+
+
+def test_linear(rng):
+    m = torch.nn.Linear(16, 24)
+    x = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.linear(to_j(m.state_dict()), jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_conv1d(rng):
+    m = torch.nn.Conv1d(4, 8, 8, stride=4, padding=2)
+    x = rng.standard_normal((2, 4, 64)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.conv1d(to_j(m.state_dict()), jnp.asarray(x), 4, 2))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_conv1d_dilated(rng):
+    m = torch.nn.Conv1d(6, 12, 3, padding=2, dilation=2)
+    x = rng.standard_normal((1, 6, 50)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.conv1d(to_j(m.state_dict()), jnp.asarray(x), 1, 2, 2))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_conv2d(rng):
+    m = torch.nn.Conv2d(4, 8, (8, 1), stride=(4, 1), padding=(2, 0))
+    x = rng.standard_normal((2, 4, 64, 6)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.conv2d(to_j(m.state_dict()), jnp.asarray(x), (4, 1), (2, 0)))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_conv_transpose1d(rng):
+    m = torch.nn.ConvTranspose1d(8, 4, 8, stride=4, padding=2)
+    x = rng.standard_normal((2, 8, 16)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.conv_transpose1d(to_j(m.state_dict()), jnp.asarray(x), 4, 2))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_conv_transpose1d_nopad(rng):
+    m = torch.nn.ConvTranspose1d(8, 4, 8, stride=4)
+    x = rng.standard_normal((2, 8, 16)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.conv_transpose1d(to_j(m.state_dict()), jnp.asarray(x), 4, 0))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_conv_transpose2d(rng):
+    m = torch.nn.ConvTranspose2d(8, 4, (8, 1), stride=(4, 1), padding=(2, 0))
+    x = rng.standard_normal((2, 8, 16, 5)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(
+        jnn.conv_transpose2d(to_j(m.state_dict()), jnp.asarray(x), (4, 1), (2, 0))
+    )
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_group_norm(rng):
+    m = torch.nn.GroupNorm(1, 12)
+    with torch.no_grad():
+        m.weight.uniform_(0.5, 1.5)
+        m.bias.uniform_(-0.5, 0.5)
+    x = rng.standard_normal((2, 12, 30)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.group_norm(to_j(m.state_dict()), jnp.asarray(x), 1))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+    # 2-D spatial case
+    x2 = rng.standard_normal((2, 12, 8, 5)).astype(np.float32)
+    ref2 = m(torch.from_numpy(x2)).detach().numpy()
+    ours2 = np.asarray(jnn.group_norm(to_j(m.state_dict()), jnp.asarray(x2), 1))
+    np.testing.assert_allclose(ours2, ref2, atol=ATOL)
+
+
+def test_layer_norm(rng):
+    m = torch.nn.LayerNorm(20)
+    with torch.no_grad():
+        m.weight.uniform_(0.5, 1.5)
+        m.bias.uniform_(-0.5, 0.5)
+    x = rng.standard_normal((2, 7, 20)).astype(np.float32)
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    ours = np.asarray(jnn.layer_norm(to_j(m.state_dict()), jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_gelu_glu(rng):
+    x = rng.standard_normal((4, 8, 10)).astype(np.float32)
+    ref = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(jnn.gelu(jnp.asarray(x))), ref, atol=ATOL)
+    ref_glu = torch.nn.functional.glu(torch.from_numpy(x), dim=1).numpy()
+    np.testing.assert_allclose(
+        np.asarray(jnn.glu(jnp.asarray(x), axis=1)), ref_glu, atol=ATOL
+    )
+
+
+def test_mha_self(rng):
+    m = torch.nn.MultiheadAttention(32, 4, batch_first=True)
+    x = rng.standard_normal((2, 9, 32)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    ref, _ = m(xt, xt, xt)
+    ours = np.asarray(
+        jnn.self_attention(to_j(m.state_dict()), jnp.asarray(x), 4)
+    )
+    np.testing.assert_allclose(ours, ref.detach().numpy(), atol=1e-4)
+
+
+def test_mha_cross(rng):
+    m = torch.nn.MultiheadAttention(32, 8, batch_first=True)
+    q = rng.standard_normal((2, 9, 32)).astype(np.float32)
+    kv = rng.standard_normal((2, 1, 32)).astype(np.float32)
+    ref, _ = m(torch.from_numpy(q), torch.from_numpy(kv), torch.from_numpy(kv))
+    ours = np.asarray(
+        jnn.mha(to_j(m.state_dict()), jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv), 8)
+    )
+    np.testing.assert_allclose(ours, ref.detach().numpy(), atol=1e-4)
+
+
+def test_interpolate_linear(rng):
+    x = rng.standard_normal((2, 3, 17)).astype(np.float32)
+    for size in [9, 23, 34]:
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="linear", align_corners=False
+        ).numpy()
+        ours = np.asarray(jnn.interpolate_linear(jnp.asarray(x), size))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_interpolate_bilinear(rng):
+    x = rng.standard_normal((2, 3, 9, 7)).astype(np.float32)
+    for size in [(18, 7), (5, 13), (36, 28)]:
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="bilinear", align_corners=False
+        ).numpy()
+        ours = np.asarray(jnn.interpolate_bilinear(jnp.asarray(x), size))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_embedding(rng):
+    m = torch.nn.Embedding(10, 6)
+    idx = np.array([1, 3, 9])
+    ref = m(torch.from_numpy(idx)).detach().numpy()
+    ours = np.asarray(jnn.embedding(to_j(m.state_dict()), jnp.asarray(idx)))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
