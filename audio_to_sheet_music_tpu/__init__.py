@@ -23,3 +23,5 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+from . import config, convert, data, infer, models, nn, ops, parallel, text, train  # noqa: F401,E402

@@ -1,0 +1,255 @@
+"""AudioTextHTDemucs — text-conditioned single-stem separation (flagship).
+
+Pure-function JAX composition matching the reference model
+(`src/models/stem_separation/ATHTDemucs_v2.py:142-326`):
+
+- frozen HTDemucs dual encoders + cross-domain transformer (``models.htdemucs``)
+- frozen CLAP text tower (``models.clap_text``)
+- trainable ``TextCrossAttention`` + ``FreqDecoder`` + ``TimeDecoder`` +
+  1x1 output convs
+- sigmoid spectrogram masking with mixture phase + iSTFT, plus a time-domain
+  residual branch.
+
+Faithfully reproduced reference quirks (the published checkpoint was trained
+with them, so capability parity requires them):
+
+- The decoders compare their *frequency* (resp. time) size against the
+  recorded encoder **time-axis** lengths (`ATHTDemucs_v2.py:91-94`), so the
+  freq decoder upsamples to a (T_spec, T_spec) grid rather than the 2048-bin
+  ladder.  Skips are channel-truncated and bilinearly resized (:99-102).
+- The masking path uses CaC channels ``[:2]`` — the real/imag planes of the
+  *left* channel — as "stereo magnitude" (`ATHTDemucs_v2.py:303-309`), making
+  ``masked_z ~= z * mask``.
+- Cross-attention keys/values are a single text token, so softmax over one
+  key is identically 1 and the attention output reduces to
+  ``out_proj(v_proj_mha(v))`` broadcast over queries.  We compute that
+  directly (exact, and skips two dead (L,384,384) matmuls per branch that
+  torch's MHA performs).
+
+Params layout: ``{"htdemucs": ..., "clap": ..., "head": {...}}``; only
+``head`` trains (reference freezes the towers, `ATHTDemucs_v2.py:170-176`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import core as nn
+from ..ops import dsp
+from . import clap_text, htdemucs
+
+Params = Dict[str, Any]
+
+MODEL_DIM = 384
+TEXT_DIM = 512
+NUM_HEADS = 8
+DECODER_CHANNELS = [384, 192, 96, 48, 4]
+SKIP_SCALE = 0.1
+
+
+# ---------------------------------------------------------------------------
+# TextCrossAttention (reference ATHTDemucs_v2.py:21-58)
+# ---------------------------------------------------------------------------
+
+def text_cross_attention_init(key, feat_dim: int = MODEL_DIM,
+                              text_dim: int = TEXT_DIM) -> Params:
+    k = jax.random.split(key, 6)
+    from ..nn.attention import mha_init
+    return {
+        "q_proj": nn.linear_init(k[0], feat_dim, feat_dim),
+        "k_proj": nn.linear_init(k[1], text_dim, feat_dim),
+        "v_proj": nn.linear_init(k[2], text_dim, feat_dim),
+        "attn": mha_init(k[3], feat_dim),
+        "out_mlp": {
+            "0": nn.linear_init(k[4], feat_dim, feat_dim),
+            "2": nn.linear_init(k[5], feat_dim, feat_dim),
+        },
+        "norm_q": nn.norm_affine_init(feat_dim),
+        "norm_out": nn.norm_affine_init(feat_dim),
+    }
+
+
+def _attend_single_token(p: Params, queries: jnp.ndarray,
+                         text_emb: jnp.ndarray) -> jnp.ndarray:
+    """forward_attend with a 1-token memory.
+
+    queries: (B, L, C); text_emb: (B, text_dim).  With one key, attention
+    weights are exactly 1, so the MHA output is ``out_proj(V)`` broadcast to
+    every query position — computed directly (see module docstring).
+    """
+    e = queries.shape[-1]
+    dt = queries.dtype
+    v = nn.linear(p["v_proj"], text_emb.astype(dt))                    # (B, C)
+    w = p["attn"]["in_proj_weight"].astype(dt)
+    b = p["attn"]["in_proj_bias"].astype(dt)
+    v = v @ w[2 * e:].T + b[2 * e:]                                    # MHA V proj
+    op = p["attn"]["out_proj"]
+    attn_out = v @ op["weight"].astype(dt).T + op["bias"].astype(dt)   # (B, C)
+    out = queries + attn_out[:, None, :]
+    h = nn.gelu(nn.linear(p["out_mlp"]["0"], out))
+    out = out + nn.linear(p["out_mlp"]["2"], h)
+    return nn.layer_norm(p["norm_out"], out)
+
+
+def text_cross_attention_apply(p: Params, x: jnp.ndarray, xt: jnp.ndarray,
+                               text_emb: jnp.ndarray
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: (B, C, F, T) freq feats, xt: (B, C, T), text_emb: (B, text_dim)."""
+    b, c, f, t = x.shape
+    x_seq = x.reshape(b, c, f * t).transpose(0, 2, 1)      # b (f t) c
+    xt_seq = xt.transpose(0, 2, 1)                          # b t c
+    x_seq = _attend_single_token(p, x_seq, text_emb)
+    xt_seq = _attend_single_token(p, xt_seq, text_emb)
+    x = x_seq.transpose(0, 2, 1).reshape(b, c, f, t)
+    xt = xt_seq.transpose(0, 2, 1)
+    return x, xt
+
+
+# ---------------------------------------------------------------------------
+# Trainable decoders (reference ATHTDemucs_v2.py:61-139)
+# ---------------------------------------------------------------------------
+
+def _decoder_init(key, freq: bool) -> Params:
+    layers = []
+    chans = DECODER_CHANNELS
+    for i in range(len(chans) - 1):
+        key, k = jax.random.split(key)
+        last = i == len(chans) - 2
+        if freq:
+            conv = nn.conv_transpose2d_init(k, chans[i], chans[i + 1], (8, 1))
+        else:
+            conv = nn.conv_transpose1d_init(k, chans[i], chans[i + 1], 8)
+        layer = {"conv": conv}
+        if not last:
+            layer["norm"] = nn.norm_affine_init(chans[i + 1])
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def freq_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
+                       target_lengths: List[int]) -> jnp.ndarray:
+    """4x [ConvT2d k=(8,1) s=(4,1) p=(2,0) -> GroupNorm(1) -> GELU] with
+    freq-axis resize to ``target_lengths[i]`` and 0.1-scaled skips."""
+    for i, layer in enumerate(p["layers"]):
+        x = nn.conv_transpose2d(layer["conv"], x, stride=(4, 1), padding=(2, 0))
+        if "norm" in layer:
+            x = nn.gelu(nn.group_norm(layer["norm"], x, 1))
+        if i < len(target_lengths) and x.shape[2] != target_lengths[i]:
+            x = nn.interpolate_bilinear(x, (target_lengths[i], x.shape[3]))
+        if i < len(skips):
+            skip = skips[i][:, : x.shape[1]]
+            skip = nn.interpolate_bilinear(skip, x.shape[2:])
+            x = x + skip.astype(x.dtype) * SKIP_SCALE
+    return x
+
+
+def time_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
+                       target_lengths: List[int]) -> jnp.ndarray:
+    for i, layer in enumerate(p["layers"]):
+        x = nn.conv_transpose1d(layer["conv"], x, stride=4, padding=2)
+        if "norm" in layer:
+            x = nn.gelu(nn.group_norm(layer["norm"], x, 1))
+        if i < len(target_lengths) and x.shape[2] != target_lengths[i]:
+            x = nn.interpolate_linear(x, target_lengths[i])
+        if i < len(skips):
+            skip = skips[i][:, : x.shape[1]]
+            skip = nn.interpolate_linear(skip, x.shape[2])
+            x = x + skip.astype(x.dtype) * SKIP_SCALE
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def head_init(key) -> Params:
+    """Trainable head: cross-attention + decoders + output convs (~5 M)."""
+    k = jax.random.split(key, 5)
+    return {
+        "text_attn": text_cross_attention_init(k[0]),
+        "freq_decoder": _decoder_init(k[1], freq=True),
+        "time_decoder": _decoder_init(k[2], freq=False),
+        "freq_out": nn.conv2d_init(k[3], 4, 2, (1, 1)),
+        "time_out": nn.conv1d_init(k[4], 4, 2, 1),
+    }
+
+
+def init(key) -> Params:
+    """Full model params (frozen towers random-init; see convert/)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "htdemucs": htdemucs.htdemucs_init(k1),
+        "clap": clap_text.clap_text_init(k2),
+        "head": head_init(k3),
+    }
+
+
+def encode_text(params: Params, input_ids: jnp.ndarray,
+                attention_mask: jnp.ndarray, normalize: bool = False
+                ) -> jnp.ndarray:
+    """Frozen CLAP text embeddings (B, 512).
+
+    ``normalize=False`` matches the training path
+    (``ClapTextModelWithProjection``, reference `src/train.py:404`);
+    ``normalize=True`` matches ``ClapModel.get_text_features`` (app path).
+    """
+    fn = clap_text.get_text_features if normalize else clap_text.text_embeds
+    return jax.lax.stop_gradient(fn(params["clap"], input_ids, attention_mask))
+
+
+def forward_with_text_emb(params: Params, wav: jnp.ndarray,
+                          text_emb: jnp.ndarray,
+                          compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(B, 2, T) mixture + (B, 512) text embedding -> (B, 2, T) stem.
+
+    The serving path caches prompt embeddings and calls this directly; the
+    training path wraps it with ``encode_text``.  Mirrors the reference
+    forward contract (`ATHTDemucs_v2.py:250-326`).
+    """
+    original_length = wav.shape[-1]
+    wav32 = wav.astype(jnp.float32)
+    z, mag, x, xt, mean, std, meant, stdt = htdemucs.normalize_inputs(wav32)
+    b, _, fq, t_spec = x.shape
+
+    # Frozen encoder replay (reference runs under no_grad, :277-279).
+    x_enc, xt_enc, saved, saved_t, lengths, lengths_t = htdemucs.encode(
+        params["htdemucs"], x.astype(compute_dtype), xt.astype(compute_dtype))
+    x_enc, xt_enc, saved, saved_t = jax.lax.stop_gradient(
+        (x_enc, xt_enc, saved, saved_t))
+
+    head = params["head"]
+    x_cond, xt_cond = text_cross_attention_apply(
+        head["text_attn"], x_enc, xt_enc, text_emb)
+
+    x_dec = freq_decoder_apply(head["freq_decoder"], x_cond,
+                               saved[::-1], lengths[::-1])
+    x_dec = nn.conv2d(head["freq_out"], x_dec)
+    x_dec = nn.interpolate_bilinear(x_dec, (fq, t_spec)).astype(jnp.float32)
+
+    mask = jax.nn.sigmoid(x_dec)                       # (B, 2, F, T)
+    mag_stereo = mag[:, :2]                            # CaC re/im planes (:303)
+    masked = mag_stereo * mask
+    z_stereo = z[:, :2]
+    phase = z_stereo / (mag_stereo + 1e-8)
+    masked_z = masked * phase
+    freq_wav = dsp.ispec(masked_z, original_length, htdemucs.NFFT, htdemucs.HOP)
+
+    xt_dec = time_decoder_apply(head["time_decoder"], xt_cond,
+                                saved_t[::-1], lengths_t[::-1])
+    xt_dec = nn.conv1d(head["time_out"], xt_dec)
+    if xt_dec.shape[-1] != original_length:
+        xt_dec = nn.interpolate_linear(xt_dec, original_length)
+    xt_dec = xt_dec.astype(jnp.float32) * stdt + meant
+
+    return (freq_wav + xt_dec).astype(wav.dtype)
+
+
+def forward(params: Params, wav: jnp.ndarray, input_ids: jnp.ndarray,
+            attention_mask: jnp.ndarray, compute_dtype=jnp.float32,
+            normalize_text: bool = False) -> jnp.ndarray:
+    """Full forward: mixture + tokenised prompts -> separated stem."""
+    text_emb = encode_text(params, input_ids, attention_mask, normalize_text)
+    return forward_with_text_emb(params, wav, text_emb, compute_dtype)

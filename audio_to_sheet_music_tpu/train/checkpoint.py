@@ -1,0 +1,100 @@
+"""Orbax checkpointing with the reference's epoch/best/latest semantics.
+
+Reference saves ``checkpoint_epoch_N.pt`` + ``best_model.pt`` + ``latest.pt``
+dicts of ``{epoch, model/optimizer/scheduler state, metrics}``
+(`src/train.py:205-236`) and auto-resumes from ``latest.pt`` when present
+(`src/train.py:503-508`).  Here each save is an Orbax directory
+(``epoch_0001`` / ``best`` / ``latest``) holding the train state (head +
+optimizer), the epoch counter and metrics; the frozen towers are *not*
+checkpointed per epoch (they never change — they live in the converted-weights
+artifact), which shrinks a save from ~680 MB to ~35 MB.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _save_tree(path: Path, tree: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.resolve(), tree, force=True)
+
+
+def _restore_tree(path: Path, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        return ckptr.restore(path.resolve(), abstract)
+
+
+def save_checkpoint(ckpt_dir: str | Path, state, epoch: int,
+                    metrics: Dict[str, float] | None = None,
+                    is_best: bool = False, every: int | None = None) -> None:
+    """Write ``latest`` (always), ``best`` (on new best SDR) and
+    ``epoch_NNNN`` (every ``every`` epochs) checkpoints."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    tree = {"state": state}
+    meta = {"epoch": int(epoch), "metrics": {k: float(v) for k, v in (metrics or {}).items()}}
+
+    targets = [ckpt_dir / "latest"]
+    if is_best:
+        targets.append(ckpt_dir / "best")
+    if every and (epoch + 1) % every == 0:
+        targets.append(ckpt_dir / f"epoch_{epoch:04d}")
+    for t in targets:
+        _save_tree(t, tree)
+        (t / "meta.json").write_text(json.dumps(meta))
+
+
+def load_checkpoint(path: str | Path, state_template) -> Tuple[Any, int, Dict]:
+    """Restore ``(state, epoch, metrics)`` from a checkpoint directory."""
+    path = Path(path)
+    tree = _restore_tree(path, {"state": state_template})
+    meta = {"epoch": -1, "metrics": {}}
+    meta_file = path / "meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+    return tree["state"], int(meta.get("epoch", -1)), meta.get("metrics", {})
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    """Auto-resume hook: the ``latest`` dir if present (reference
+    `src/train.py:503-508`)."""
+    p = Path(ckpt_dir) / "latest"
+    return p if p.exists() else None
+
+
+# ---------------------------------------------------------------------------
+# Converted frozen-tower weights: a single npz artifact (no torch at runtime)
+# ---------------------------------------------------------------------------
+
+def save_params_npz(path: str | Path, params: Any) -> None:
+    """Flatten a param pytree to an ``.npz`` (portable, torch-free)."""
+    from ..convert.torch_import import _tree_paths
+
+    flat = {"/".join(p): np.asarray(leaf) for p, leaf in _tree_paths(params)}
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str | Path, template: Any) -> Any:
+    import jax.numpy as jnp
+
+    data = np.load(path)
+
+    def build(tree, prefix):
+        if isinstance(tree, dict):
+            return {k: build(v, prefix + [str(k)]) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [build(v, prefix + [str(i)]) for i, v in enumerate(tree)]
+        return jnp.asarray(data["/".join(prefix)])
+
+    return build(template, [])

@@ -1,0 +1,191 @@
+"""Train orchestrator (reference `src/train.py:274-605` redesigned TPU-first).
+
+``train(config)`` wires: config -> params (converted checkpoint or random
+init) -> decode-once datasets + prefetching loaders -> AdamW/cosine/clip ->
+auto-resume from ``latest`` -> jitted epoch loop with optional data-parallel
+batch sharding -> validation with per-stem SDR buckets -> epoch/best/latest
+checkpoints -> metric logging (wandb when configured, JSONL always).
+
+Differences from the reference, by design:
+- validation subset really comes from the *val* dataset (the reference
+  indexes the train set by mistake, `src/train.py:452`),
+- checkpoints are written once per epoch + best/latest (the reference saved
+  twice per epoch regardless of ``save_every``, `src/train.py:579-590`),
+- the text tower runs inside the same jit as the separation towers; prompts
+  are tokenised in the data pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import BatchLoader, StemSegmentDataset, discover_tracks
+from ..models import atht
+from ..parallel import mesh as meshlib
+from ..text.prompts import STEM_NAMES
+from ..text.tokenizer import default_tokenizer
+from . import checkpoint as ckpt
+from .step import TrainState, make_eval_step, make_optimizer, make_train_step
+
+
+class MetricLogger:
+    """wandb when enabled + JSONL always (reference logs via wandb only)."""
+
+    def __init__(self, cfg: Config, out_dir: Path):
+        self._wandb = None
+        out_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(out_dir / "metrics.jsonl", "a")
+        if cfg.wandb.use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=cfg.wandb.project,
+                                         name=cfg.wandb.run_name)
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: Mapping[str, float], step: int) -> None:
+        rec = {k: float(v) for k, v in metrics.items()}
+        rec["step"] = step
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(rec, step=step)
+
+
+def _subset(dataset: StemSegmentDataset, pct: float, seed: int = 0):
+    """Random percentage subset (reference `src/train.py:444-452`)."""
+    if pct >= 1.0:
+        return dataset
+    rng = np.random.default_rng(seed)
+    n = max(1, int(len(dataset.index_map) * pct))
+    keep = rng.permutation(len(dataset.index_map))[:n]
+    dataset.index_map = [dataset.index_map[i] for i in keep]
+    return dataset
+
+
+def train(cfg: Config, params=None, mesh=None,
+          max_steps_per_epoch: int | None = None) -> Dict[str, float]:
+    """Run training; returns ``{"best_sdr": ..., "final_epoch": ...}``."""
+    compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    out_dir = Path(cfg.wandb.output_dir)
+    logger = MetricLogger(cfg, out_dir)
+    tokenizer = default_tokenizer()
+
+    if params is None:
+        resume = cfg.training.resume_from
+        if resume and Path(resume).suffix == ".pt":
+            from ..convert.torch_import import import_atht_checkpoint
+
+            params = import_atht_checkpoint(resume, strict=False)
+        else:
+            params = atht.init(jax.random.PRNGKey(0))
+
+    train_tracks = discover_tracks(cfg.data.train_dir)
+    val_tracks = discover_tracks(cfg.data.test_dir) or train_tracks
+    seg = cfg.data.segment_samples
+    train_ds = _subset(StemSegmentDataset(train_tracks, seg,
+                                          random_segments=True,
+                                          augment=cfg.data.augment),
+                       cfg.data.pct_train)
+    val_ds = _subset(StemSegmentDataset(val_tracks, seg), cfg.data.pct_test,
+                     seed=1)
+    train_loader = BatchLoader(train_ds, cfg.training.batch_size, tokenizer)
+    val_loader = BatchLoader(val_ds, cfg.training.batch_size, tokenizer,
+                             shuffle=False)
+
+    steps_per_epoch = min(len(train_loader), max_steps_per_epoch or 10**9)
+    total_steps = max(1, steps_per_epoch * cfg.training.num_epochs)
+    opt_cfg = cfg.training.optimizer
+    optimizer = make_optimizer(opt_cfg.lr, opt_cfg.weight_decay,
+                               opt_cfg.grad_clip, total_steps)
+    loss_cfg = {
+        "use_l1": cfg.training.use_L1_comb_loss,
+        "sdr_weight": cfg.training.sdr_weight,
+        "sisdr_weight": cfg.training.sisdr_weight,
+        "l1_sdr_weight": cfg.training.l1_sdr_weight,
+        "l1_weight": cfg.training.l1_weight,
+    }
+    train_step = make_train_step(optimizer, loss_cfg, compute_dtype)
+    eval_step = make_eval_step(loss_cfg, compute_dtype)
+
+    frozen = {"htdemucs": params["htdemucs"], "clap": params["clap"]}
+    state = TrainState.create(params["head"], optimizer)
+    if mesh is not None:
+        frozen = meshlib.replicate(frozen, mesh)
+        state = meshlib.replicate(state, mesh)
+
+    ckpt_dir = Path(cfg.wandb.checkpoint_dir)
+    start_epoch, best_sdr = 0, -np.inf
+    latest = ckpt.latest_checkpoint(ckpt_dir)
+    if latest is not None:  # auto-resume (reference src/train.py:503-508)
+        state, epoch, metrics = ckpt.load_checkpoint(latest, state)
+        start_epoch = epoch + 1
+        best_sdr = metrics.get("best_sdr", -np.inf)
+        print(f"resumed from {latest} at epoch {start_epoch}")
+
+    def put_batch(batch):
+        arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                if k != "stem_index"}
+        if mesh is not None:
+            arrs = meshlib.shard_batch(arrs, mesh)
+        return arrs, batch["stem_index"]
+
+    global_step = int(state.step)
+    for epoch in range(start_epoch, cfg.training.num_epochs):
+        t0 = time.time()
+        epoch_metrics = []
+        for i, raw in enumerate(train_loader):
+            if i >= steps_per_epoch:
+                break
+            batch, _ = put_batch(raw)
+            state, metrics = train_step(state, frozen, batch)
+            global_step += 1
+            if global_step % cfg.wandb.log_every == 0:
+                logger.log({f"train/{k}": float(v) for k, v in metrics.items()},
+                           global_step)
+            epoch_metrics.append(float(metrics["loss/total"]))
+        dt = time.time() - t0
+        mean_loss = float(np.mean(epoch_metrics)) if epoch_metrics else np.nan
+        print(f"epoch {epoch}: loss {mean_loss:.4f} "
+              f"({steps_per_epoch / max(dt, 1e-9):.2f} steps/s)")
+
+        val_sdr = np.nan
+        if (epoch + 1) % cfg.wandb.validate_every == 0:
+            params_now = {"htdemucs": frozen["htdemucs"],
+                          "clap": frozen["clap"], "head": state.head}
+            per_stem = {s: [] for s in STEM_NAMES}
+            agg = []
+            for raw in val_loader:
+                batch, stem_idx = put_batch(raw)
+                metrics, per_item = eval_step(params_now, batch)
+                per_item = np.asarray(per_item)
+                agg.append(per_item.mean())
+                for j, si in enumerate(stem_idx):
+                    per_stem[STEM_NAMES[int(si)]].append(float(per_item[j]))
+            if agg:
+                val_sdr = float(np.mean(agg))
+                log = {"val/sdr": val_sdr}
+                log.update({f"val/sdr_{s}": float(np.mean(v))
+                            for s, v in per_stem.items() if v})
+                logger.log(log, global_step)
+                print(f"  val SDR {val_sdr:.2f} dB")
+
+        is_best = np.isfinite(val_sdr) and val_sdr > best_sdr
+        if is_best:
+            best_sdr = val_sdr
+        ckpt.save_checkpoint(ckpt_dir, state, epoch,
+                             {"loss": mean_loss, "val_sdr": val_sdr,
+                              "best_sdr": best_sdr},
+                             is_best=is_best, every=cfg.wandb.save_every)
+
+    return {"best_sdr": float(best_sdr), "final_epoch": cfg.training.num_epochs - 1,
+            "final_loss": mean_loss if cfg.training.num_epochs else np.nan}

@@ -1,0 +1,62 @@
+"""Headline benchmark: full-song 4-stem separation throughput per chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Protocol (mirrors the reference eval path, `benchmark.py:155-204`): a 60 s
+stereo mixture is separated into the 4 canonical stems with free-text
+prompts, 6 s chunks, 1.5 s linear-crossfade overlap-add, bf16 compute.
+Metric: audio-seconds separated per wall-second per chip, counting the song
+once per stem (a 4-stem pass over a 60 s song = 240 audio-sec of work).
+
+``vs_baseline``: the reference never measured throughput (BASELINE.md), so
+the comparison anchor is the north-star target of 50x realtime full-song
+4-stem separation per chip (BASELINE.json): ``vs_baseline = value / 50``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+SONG_SECONDS = 60
+SAMPLE_RATE = 44100
+TARGET_REALTIME = 50.0  # BASELINE.json north star, 4-stem realtime per chip
+
+
+def main() -> None:
+    from audio_to_sheet_music_tpu.infer import Separator
+    from audio_to_sheet_music_tpu.models import atht
+    from audio_to_sheet_music_tpu.text.prompts import STEM_NAMES
+
+    params = atht.init(jax.random.PRNGKey(0))
+    sep = Separator(params)
+
+    rng = np.random.default_rng(0)
+    t = SONG_SECONDS * SAMPLE_RATE
+    song = (0.1 * rng.standard_normal((2, t))).astype(np.float32)
+
+    # Warmup: compile text encode + chunk forward for this grid.
+    for stem in STEM_NAMES:
+        sep.text_embedding(stem)
+    _ = sep.separate(song, STEM_NAMES[0])
+
+    start = time.perf_counter()
+    outs = sep.separate_all(song)
+    jax.block_until_ready(list(outs.values()))
+    elapsed = time.perf_counter() - start
+
+    audio_sec = SONG_SECONDS * len(STEM_NAMES)
+    value = audio_sec / elapsed
+    print(json.dumps({
+        "metric": "4stem_separation_throughput",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / TARGET_REALTIME, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

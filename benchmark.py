@@ -1,0 +1,90 @@
+"""MusDB18 benchmark CLI (reference `benchmark.py:895-1016` counterpart).
+
+    python benchmark.py --models ours htdemucs --test-dir <tracks> \
+        --output-dir results [--max-tracks N] [--checkpoint best_model.pt]
+
+Evaluates each model over the test tracks (SDR + SI-SDR per stem), prints the
+aggregate tables and writes ``<output-dir>/evaluation_results.json`` in the
+reference's exact schema.  With ``--synthetic`` it runs on the in-memory
+fixture (no dataset needed) — useful as an end-to-end smoke benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="MusDB18 separation benchmark")
+    ap.add_argument("--models", nargs="+", default=["ours"],
+                    choices=["ours", "htdemucs", "clapsep"])
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument("--test-dir", default=None)
+    ap.add_argument("--output-dir", default="results")
+    ap.add_argument("--max-tracks", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help=".pt (converted) or params .npz for 'ours'")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="run on the synthetic fixture instead of a dataset")
+    args = ap.parse_args()
+
+    import jax
+
+    from audio_to_sheet_music_tpu.config import Config
+    from audio_to_sheet_music_tpu.data import discover_tracks, synthetic_tracks
+    from audio_to_sheet_music_tpu.eval import (evaluate_model,
+                                               format_results_table,
+                                               save_results)
+    from audio_to_sheet_music_tpu.eval.models import (CLAPSepModel,
+                                                      HTDemucsBaseline,
+                                                      OursModel)
+    from audio_to_sheet_music_tpu.models import atht
+
+    cfg = Config.from_yaml(args.config) if Path(args.config).exists() else Config()
+    if args.synthetic:
+        tracks = synthetic_tracks(2, seconds=12.0)
+    else:
+        tracks = discover_tracks(args.test_dir or cfg.data.test_dir)
+    if not tracks:
+        raise SystemExit("no test tracks found")
+
+    if args.checkpoint and args.checkpoint.endswith(".pt"):
+        from audio_to_sheet_music_tpu.convert.torch_import import (
+            import_atht_checkpoint)
+
+        params = import_atht_checkpoint(args.checkpoint, strict=False)
+    else:
+        params = atht.init(jax.random.PRNGKey(0))
+        if args.checkpoint:
+            from audio_to_sheet_music_tpu.train.checkpoint import load_params_npz
+
+            params = load_params_npz(args.checkpoint, params)
+
+    registry = {}
+    for name in args.models:
+        try:
+            if name == "ours":
+                registry["AudioTextHTDemucs (Ours)"] = OursModel(params)
+            elif name == "htdemucs":
+                registry["HTDemucs (pretrained)"] = HTDemucsBaseline(
+                    params["htdemucs"])
+            elif name == "clapsep":
+                registry["CLAPSep"] = CLAPSepModel()
+        except RuntimeError as e:   # graceful skip (reference :977-980)
+            print(f"skipping {name}: {e}")
+
+    all_results = {}
+    for name, model in registry.items():
+        print(f"evaluating {name} on {len(tracks)} tracks")
+        all_results[name] = evaluate_model(model.separate_all, tracks, name,
+                                           max_tracks=args.max_tracks)
+
+    print(format_results_table(all_results))
+    out = Path(args.output_dir) / "evaluation_results.json"
+    save_results(all_results, out)
+    print(f"\nresults written to {out}")
+
+
+if __name__ == "__main__":
+    main()
