@@ -1,0 +1,173 @@
+"""Prompt-embedding analysis tool (reference `embedding_comparison.py:66-543`).
+
+    python -m audio_to_sheet_music_tpu.apps.embedding_tool \
+        [--checkpoint ...] [--output-dir embedding_analysis] [--tensorboard]
+
+Embeds the stem prompt vocabulary (+ the reference's extra instrument terms
+violin/viola/cello) with the CLAP text tower, then reports:
+
+- pairwise cosine-similarity matrix (PNG heatmap + JSON),
+- 2-D PCA and t-SNE projections (PNG scatter, colored per stem category),
+- intra- vs inter-category clustering separation statistics,
+- optional TensorBoard embedding-projector export.
+
+The reference also compares against Word2Vec (gensim) and UMAP; both are
+optional dependencies and are skipped with a note when unavailable, exactly
+like the reference's graceful degradation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+EXTRA_TERMS = ["violin", "viola", "cello"]   # reference embedding_comparison.py
+
+
+def collect_prompts():
+    from ..text.prompts import STEM_PROMPTS
+
+    prompts, categories = [], []
+    for stem, variants in STEM_PROMPTS.items():
+        for v in variants:
+            prompts.append(v)
+            categories.append(stem)
+    for term in EXTRA_TERMS:
+        prompts.append(term)
+        categories.append("strings")
+    return prompts, categories
+
+
+def embed_prompts(prompts, checkpoint=None, normalize=True) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import atht, clap_text
+    from ..text.tokenizer import default_tokenizer
+
+    if checkpoint and checkpoint.endswith(".pt"):
+        from ..convert.torch_import import import_atht_checkpoint
+
+        params = import_atht_checkpoint(checkpoint, strict=False)["clap"]
+    else:
+        params = atht.init(jax.random.PRNGKey(0))["clap"]
+    ids, mask = default_tokenizer()(prompts)
+    fn = clap_text.get_text_features if normalize else clap_text.text_embeds
+    return np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+
+def analyze_clustering(emb: np.ndarray, categories) -> dict:
+    """Intra/inter-category cosine similarity separation (reference
+    ``analyze_clustering``)."""
+    emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    sim = emb @ emb.T
+    cats = np.asarray(categories)
+    intra, inter = [], []
+    n = len(cats)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (intra if cats[i] == cats[j] else inter).append(sim[i, j])
+    return {
+        "intra_category_mean": float(np.mean(intra)),
+        "inter_category_mean": float(np.mean(inter)),
+        "separation": float(np.mean(intra) - np.mean(inter)),
+    }
+
+
+def reduce_dimensions(emb: np.ndarray, method: str = "pca") -> np.ndarray:
+    if method == "pca":
+        from sklearn.decomposition import PCA
+
+        return PCA(n_components=2).fit_transform(emb)
+    if method == "tsne":
+        from sklearn.manifold import TSNE
+
+        perplexity = min(5, len(emb) - 1)
+        return TSNE(n_components=2, perplexity=perplexity,
+                    random_state=0).fit_transform(emb)
+    if method == "umap":
+        import umap  # optional
+
+        return umap.UMAP(n_components=2, random_state=0).fit_transform(emb)
+    raise ValueError(method)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Prompt embedding analysis")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--output-dir", default="embedding_analysis")
+    ap.add_argument("--tensorboard", action="store_true")
+    args = ap.parse_args()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    prompts, categories = collect_prompts()
+    emb = embed_prompts(prompts, args.checkpoint)
+
+    report = {"prompts": prompts, "categories": categories,
+              "clap": analyze_clustering(emb, categories)}
+
+    # cosine-similarity heatmap
+    sim = (emb / np.linalg.norm(emb, axis=-1, keepdims=True))
+    sim = sim @ sim.T
+    fig, ax = plt.subplots(figsize=(8, 7))
+    im = ax.imshow(sim, cmap="viridis")
+    ax.set_xticks(range(len(prompts)), prompts, rotation=90, fontsize=7)
+    ax.set_yticks(range(len(prompts)), prompts, fontsize=7)
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(out / "cosine_similarity.png", dpi=120)
+    plt.close(fig)
+
+    cat_names = sorted(set(categories))
+    colors = {c: i for i, c in enumerate(cat_names)}
+    for method in ("pca", "tsne", "umap"):
+        try:
+            pts = reduce_dimensions(emb, method)
+        except ImportError:
+            print(f"{method}: dependency unavailable, skipped")
+            continue
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.scatter(pts[:, 0], pts[:, 1],
+                   c=[colors[c] for c in categories], cmap="tab10")
+        for p, (x, y) in zip(prompts, pts):
+            ax.annotate(p, (x, y), fontsize=7)
+        ax.set_title(f"CLAP prompt embeddings — {method.upper()}")
+        fig.tight_layout()
+        fig.savefig(out / f"projection_{method}.png", dpi=120)
+        plt.close(fig)
+
+    # Word2Vec comparison (reference uses gensim; optional here)
+    try:
+        import gensim  # noqa: F401
+
+        print("gensim available — word2vec comparison not bundled with "
+              "pretrained vectors offline; skipping download")
+    except ImportError:
+        report["word2vec"] = "skipped (gensim unavailable)"
+
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            w = SummaryWriter(str(out / "tb"))
+            w.add_embedding(emb, metadata=prompts, tag="clap_prompts")
+            w.close()
+        except Exception as e:  # noqa: BLE001
+            report["tensorboard"] = f"skipped ({e})"
+
+    (out / "report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report["clap"], indent=2))
+    print(f"analysis written to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Gradio serving app (reference `app.py:205-393`).
+
+    python -m audio_to_sheet_music_tpu.apps.serve [--checkpoint ...] [--port 7860]
+
+Upload audio (or point at a local file path), type a free-text prompt
+("drums", "the vocals", "piano sound"), get the separated stem plus input/
+output spectrograms.  Uses the shared ``Separator`` session with the app
+protocol's 0.1 s overlap (reference `app.py:139`).
+
+``gradio`` is an optional dependency (the reference pins gradio 5.17); when
+missing this module degrades to a clear error.  The reference's YouTube
+download path (yt-dlp) is likewise optional and gated.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+SAMPLE_RATE = 44100
+
+
+def build_separator(checkpoint: str | None):
+    import jax
+
+    from ..infer import Separator
+    from ..models import atht
+
+    if checkpoint and checkpoint.endswith(".pt"):
+        from ..convert.torch_import import import_atht_checkpoint
+
+        params = import_atht_checkpoint(checkpoint, strict=False)
+    else:
+        params = atht.init(jax.random.PRNGKey(0))
+        if checkpoint:
+            from ..train.checkpoint import load_params_npz
+
+            params = load_params_npz(checkpoint, params)
+    # App protocol: 6 s chunks, 0.1 s overlap (reference app.py:133-139),
+    # normalised CLAP text features (ClapModel path, app.py:53).
+    return Separator(params, segment_seconds=6.0, overlap_seconds=0.1,
+                     normalize_text=True)
+
+
+def _load_input(audio, path_text):
+    from ..utils import audio_io
+
+    if audio is not None:
+        sr, data = audio                       # gradio numpy audio
+        wav = data.T.astype(np.float32) if data.ndim == 2 else data[None].astype(np.float32)
+        if np.abs(wav).max() > 1.5:            # int-range payload
+            wav = wav / 32768.0
+    elif path_text:
+        p = Path(path_text)
+        if p.suffix == ".wav":
+            sr, wav = audio_io.read_wav(p)
+        else:
+            raise ValueError("only .wav paths supported without ffmpeg")
+    else:
+        raise ValueError("provide an upload or a file path")
+    wav = audio_io.to_stereo(audio_io.resample(wav, sr, SAMPLE_RATE))
+    return wav
+
+
+def create_demo(separator):
+    import gradio as gr
+
+    from ..utils import plotting
+
+    def process(audio, path_text, prompt):
+        wav = _load_input(audio, path_text)
+        out = separator.separate(wav, prompt or "vocals")
+        fig_in = plotting.plot_spectrogram(wav, "input mixture")
+        fig_out = plotting.plot_spectrogram(out, f"separated: {prompt}")
+        return ((SAMPLE_RATE, wav.T), (SAMPLE_RATE, out.T), fig_in, fig_out,
+                f"separated '{prompt}' from {wav.shape[-1] / SAMPLE_RATE:.1f} s of audio")
+
+    with gr.Blocks(title="Audio-Text Stem Separation (TPU)") as demo:
+        gr.Markdown("# Text-conditioned stem separation\n"
+                    "Upload audio and describe the sound to extract.")
+        with gr.Row():
+            audio_in = gr.Audio(label="input audio", type="numpy")
+            path_in = gr.Textbox(label="...or local .wav path")
+        prompt = gr.Textbox(label="prompt", value="vocals")
+        btn = gr.Button("Separate")
+        with gr.Row():
+            player_in = gr.Audio(label="mixture")
+            player_out = gr.Audio(label="separated stem")
+        with gr.Row():
+            spec_in = gr.Plot(label="input spectrogram")
+            spec_out = gr.Plot(label="output spectrogram")
+        status = gr.Textbox(label="status")
+        btn.click(process, [audio_in, path_in, prompt],
+                  [player_in, player_out, spec_in, spec_out, status])
+    return demo
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Serve the separation demo")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=7860)
+    args = ap.parse_args()
+    try:
+        import gradio  # noqa: F401
+    except ImportError as e:
+        raise SystemExit("gradio is not installed in this environment; "
+                         "install it to serve the demo") from e
+    sep = build_separator(args.checkpoint)
+    create_demo(sep).launch(server_name=args.host, server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

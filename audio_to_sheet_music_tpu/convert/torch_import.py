@@ -171,6 +171,23 @@ def import_clap_state(state: Mapping[str, np.ndarray], prefix: str = "",
     return fill_from_torch(template, remapped, strict=strict)
 
 
+def import_clap_audio_state(state: Mapping[str, np.ndarray],
+                            strict: bool = True):
+    """HF ClapAudioModel(+Projection) / ClapModel audio side -> pytree."""
+    import jax
+
+    from ..models import clap_audio
+
+    remapped = {}
+    for k, v in state.items():
+        k = k.replace("audio_model.audio_encoder.", "")
+        if k.endswith("num_batches_tracked"):
+            continue
+        remapped[k] = v
+    template = clap_audio.clap_audio_init(jax.random.PRNGKey(0))
+    return fill_from_torch(template, remapped, strict=strict)
+
+
 def import_atht_checkpoint(path: str, strict: bool = True):
     """Reference AudioTextHTDemucs ``.pt`` checkpoint -> full model pytree.
 

@@ -73,14 +73,15 @@ def fade_weights(segment: int, overlap: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(w, dtype)
 
 
-def frame_song(x: jnp.ndarray, grid: ChunkGrid) -> jnp.ndarray:
+def frame_song(x: jnp.ndarray, grid: ChunkGrid, padded: bool = False) -> jnp.ndarray:
     """``(C, T)`` song -> ``(n_chunks, C, segment)`` chunk batch.
 
-    Zero-pads to the grid, then gathers all chunks in one indexed load.
+    Zero-pads to the grid (skip with ``padded=True`` when the caller already
+    padded host-side), then gathers all chunks in one indexed load.
     """
-    c = x.shape[0]
-    pad = grid.padded_length - x.shape[-1]
-    x = jnp.pad(x, ((0, 0), (0, pad)))
+    if not padded:
+        pad = grid.padded_length - x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, pad)))
     starts = jnp.arange(grid.n_chunks) * grid.hop
     idx = starts[:, None] + jnp.arange(grid.segment)[None, :]   # (n, L)
     return x[:, idx].transpose(1, 0, 2)                          # (n, C, L)

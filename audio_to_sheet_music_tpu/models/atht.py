@@ -200,6 +200,64 @@ def encode_text(params: Params, input_ids: jnp.ndarray,
     return jax.lax.stop_gradient(fn(params["clap"], input_ids, attention_mask))
 
 
+def encode_mixture(params: Params, wav: jnp.ndarray,
+                   compute_dtype=jnp.float32) -> Dict[str, Any]:
+    """Text-independent half of the forward: DSP front-end + frozen encoder.
+
+    The encoder replay costs ~95% of the forward FLOPs and does not depend
+    on the prompt, so multi-stem separation encodes ONCE and reuses this
+    state for every stem (the reference re-runs the whole model per stem,
+    `benchmark.py:139-153`).
+    """
+    wav32 = wav.astype(jnp.float32)
+    z, mag, x, xt, mean, std, meant, stdt = htdemucs.normalize_inputs(wav32)
+    x_enc, xt_enc, saved, saved_t, lengths, lengths_t = htdemucs.encode(
+        params["htdemucs"], x.astype(compute_dtype), xt.astype(compute_dtype))
+    x_enc, xt_enc, saved, saved_t = jax.lax.stop_gradient(
+        (x_enc, xt_enc, saved, saved_t))
+    return {
+        "z": z, "mag": mag, "x_enc": x_enc, "xt_enc": xt_enc,
+        "saved": saved, "saved_t": saved_t,
+        # lengths are Python ints (static at trace time)
+        "lengths": lengths, "lengths_t": lengths_t,
+        "meant": meant, "stdt": stdt,
+        "original_length": wav.shape[-1],
+    }
+
+
+def apply_head(params: Params, enc: Dict[str, Any],
+               text_emb: jnp.ndarray) -> jnp.ndarray:
+    """Text-conditioned head: cross-attention + decoders + masking + iSTFT."""
+    head = params["head"]
+    original_length = enc["original_length"]
+    fq, t_spec = enc["mag"].shape[-2:]
+
+    x_cond, xt_cond = text_cross_attention_apply(
+        head["text_attn"], enc["x_enc"], enc["xt_enc"], text_emb)
+
+    x_dec = freq_decoder_apply(head["freq_decoder"], x_cond,
+                               enc["saved"][::-1], enc["lengths"][::-1])
+    x_dec = nn.conv2d(head["freq_out"], x_dec)
+    x_dec = nn.interpolate_bilinear(x_dec, (fq, t_spec)).astype(jnp.float32)
+
+    mask = jax.nn.sigmoid(x_dec)                       # (B, 2, F, T)
+    mag_stereo = enc["mag"][:, :2]                     # CaC re/im planes (:303)
+    masked = mag_stereo * mask
+    z_stereo = enc["z"][:, :2]
+    phase = z_stereo / (mag_stereo + 1e-8)
+    masked_z = masked * phase
+    freq_wav = dsp.ispec(masked_z, original_length, htdemucs.NFFT, htdemucs.HOP)
+
+    xt_dec = time_decoder_apply(head["time_decoder"], xt_cond,
+                                enc["saved_t"][::-1], enc["lengths_t"][::-1])
+    xt_dec = nn.conv1d(head["time_out"], xt_dec)
+    if xt_dec.shape[-1] != original_length:
+        xt_dec = nn.interpolate_linear(xt_dec, original_length)
+    xt_dec = xt_dec.astype(jnp.float32) * enc["stdt"] + enc["meant"]
+
+    return freq_wav + xt_dec
+
+
 def forward_with_text_emb(params: Params, wav: jnp.ndarray,
                           text_emb: jnp.ndarray,
                           compute_dtype=jnp.float32) -> jnp.ndarray:
@@ -209,42 +267,8 @@ def forward_with_text_emb(params: Params, wav: jnp.ndarray,
     training path wraps it with ``encode_text``.  Mirrors the reference
     forward contract (`ATHTDemucs_v2.py:250-326`).
     """
-    original_length = wav.shape[-1]
-    wav32 = wav.astype(jnp.float32)
-    z, mag, x, xt, mean, std, meant, stdt = htdemucs.normalize_inputs(wav32)
-    b, _, fq, t_spec = x.shape
-
-    # Frozen encoder replay (reference runs under no_grad, :277-279).
-    x_enc, xt_enc, saved, saved_t, lengths, lengths_t = htdemucs.encode(
-        params["htdemucs"], x.astype(compute_dtype), xt.astype(compute_dtype))
-    x_enc, xt_enc, saved, saved_t = jax.lax.stop_gradient(
-        (x_enc, xt_enc, saved, saved_t))
-
-    head = params["head"]
-    x_cond, xt_cond = text_cross_attention_apply(
-        head["text_attn"], x_enc, xt_enc, text_emb)
-
-    x_dec = freq_decoder_apply(head["freq_decoder"], x_cond,
-                               saved[::-1], lengths[::-1])
-    x_dec = nn.conv2d(head["freq_out"], x_dec)
-    x_dec = nn.interpolate_bilinear(x_dec, (fq, t_spec)).astype(jnp.float32)
-
-    mask = jax.nn.sigmoid(x_dec)                       # (B, 2, F, T)
-    mag_stereo = mag[:, :2]                            # CaC re/im planes (:303)
-    masked = mag_stereo * mask
-    z_stereo = z[:, :2]
-    phase = z_stereo / (mag_stereo + 1e-8)
-    masked_z = masked * phase
-    freq_wav = dsp.ispec(masked_z, original_length, htdemucs.NFFT, htdemucs.HOP)
-
-    xt_dec = time_decoder_apply(head["time_decoder"], xt_cond,
-                                saved_t[::-1], lengths_t[::-1])
-    xt_dec = nn.conv1d(head["time_out"], xt_dec)
-    if xt_dec.shape[-1] != original_length:
-        xt_dec = nn.interpolate_linear(xt_dec, original_length)
-    xt_dec = xt_dec.astype(jnp.float32) * stdt + meant
-
-    return (freq_wav + xt_dec).astype(wav.dtype)
+    enc = encode_mixture(params, wav, compute_dtype)
+    return apply_head(params, enc, text_emb).astype(wav.dtype)
 
 
 def forward(params: Params, wav: jnp.ndarray, input_ids: jnp.ndarray,

@@ -56,11 +56,17 @@ def pad_reflect_safe(x: jnp.ndarray, pad_left: int, pad_right: int) -> jnp.ndarr
 def frame(x: jnp.ndarray, frame_length: int, hop: int, n_frames: int) -> jnp.ndarray:
     """Slice ``x (..., T)`` into ``(..., n_frames, frame_length)`` windows.
 
-    Fast path requires ``frame_length % hop == 0`` (true for the 4096/1024
+    Fast path when ``frame_length % hop == 0`` (true for the 4096/1024
     STFT): view the signal as hop-sized chunks and concatenate ``ratio``
-    shifted views — pure reshape/slice, no gather.
+    shifted views — pure reshape/slice, no gather.  Other (hop, length)
+    combinations (e.g. the 1024/480 mel frontend) fall back to one gather.
     """
-    assert frame_length % hop == 0, (frame_length, hop)
+    if frame_length % hop != 0:
+        needed = (n_frames - 1) * hop + frame_length
+        if x.shape[-1] < needed:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, needed - x.shape[-1])])
+        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_length)[None, :]
+        return x[..., idx]
     ratio = frame_length // hop
     needed = (n_frames - 1 + ratio) * hop
     if x.shape[-1] < needed:
@@ -89,12 +95,14 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return acc.reshape(*lead, out_chunks * hop)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def stft(x: jnp.ndarray, n_fft: int = 4096, hop: int = 1024) -> jnp.ndarray:
-    """``torch.stft`` parity: center=True, reflect pad, normalized=True.
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def stft(x: jnp.ndarray, n_fft: int = 4096, hop: int = 1024,
+         normalized: bool = True) -> jnp.ndarray:
+    """``torch.stft`` parity: center=True, reflect pad.
 
     x: ``(..., T)`` real.  Returns complex64 ``(..., n_fft//2 + 1, n_frames)``
     with ``n_frames = T // hop + 1`` (exact when ``hop`` divides ``T``).
+    ``normalized=True`` multiplies by ``n_fft**-0.5`` (torch convention).
     """
     length = x.shape[-1]
     n_frames = length // hop + 1
@@ -102,8 +110,8 @@ def stft(x: jnp.ndarray, n_fft: int = 4096, hop: int = 1024) -> jnp.ndarray:
     frames = frame(xp, n_fft, hop, n_frames)
     win = hann_window(n_fft)
     z = jnp.fft.rfft(frames * win, axis=-1)
-    # torch normalized=True multiplies by win_length**-0.5
-    z = z * (1.0 / math.sqrt(n_fft))
+    if normalized:
+        z = z * (1.0 / math.sqrt(n_fft))
     return jnp.moveaxis(z, -1, -2)  # (..., F, n_frames)
 
 

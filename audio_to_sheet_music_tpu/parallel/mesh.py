@@ -23,6 +23,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+__all__ = ["DATA_AXIS", "Mesh", "NamedSharding", "P", "make_mesh",
+           "pad_to_multiple", "replicate", "shard_batch"]
+
 DATA_AXIS = "data"
 
 

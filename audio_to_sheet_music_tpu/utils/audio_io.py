@@ -1,0 +1,53 @@
+"""WAV read/write + resampling without ffmpeg (scipy-based).
+
+The reference leans on torchaudio/stempeg/ffmpeg for IO (`app.py:113-126`,
+`test_inference.py:157-175`); this module covers the same needs with scipy:
+float32 WAV IO, polyphase resampling to 44.1 kHz, mono->stereo.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+
+def read_wav(path: str | Path) -> tuple[int, np.ndarray]:
+    """-> (sample_rate, float32 (C, T))."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype != np.float32:
+        if np.issubdtype(data.dtype, np.integer):
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        else:
+            data = data.astype(np.float32)
+    wav = data.T if data.ndim == 2 else data[None, :]
+    return int(sr), np.ascontiguousarray(wav)
+
+
+def write_wav(path: str | Path, wav: np.ndarray, sr: int = 44100) -> None:
+    """float32 (C, T) -> 16-bit PCM WAV (what the reference's soundfile
+    calls produce, `test_inference.py:157-175`)."""
+    from scipy.io import wavfile
+
+    data = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    wavfile.write(path, sr, (data.T * 32767.0).astype(np.int16))
+
+
+def resample(wav: np.ndarray, sr: int, target_sr: int = 44100) -> np.ndarray:
+    """Polyphase resample (C, T) waveforms."""
+    if sr == target_sr:
+        return wav
+    from scipy.signal import resample_poly
+
+    g = math.gcd(sr, target_sr)
+    return resample_poly(wav, target_sr // g, sr // g, axis=-1).astype(np.float32)
+
+
+def to_stereo(wav: np.ndarray) -> np.ndarray:
+    """Mono->stereo duplication (reference `app.py:121-125`)."""
+    if wav.shape[0] == 1:
+        return np.repeat(wav, 2, axis=0)
+    return wav[:2]

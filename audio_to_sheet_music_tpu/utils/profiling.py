@@ -1,0 +1,62 @@
+"""Profiling / timing harness (SURVEY §5: the reference has none; the TPU
+framework keeps a FLOPs + wall-clock report).
+
+- ``timed`` — block-until-ready wall-clock timing for jitted callables with
+  warmup (compile excluded).
+- ``trace`` — context manager around ``jax.profiler`` for TensorBoard traces.
+- ``flops_estimate`` — XLA cost analysis of a jitted function.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+
+
+def _sync(out) -> None:
+    """Force device completion.
+
+    ``jax.block_until_ready`` alone does not reliably wait on the
+    experimental ``axon`` TPU tunnel, so additionally fetch one element of
+    each output leaf to the host — the transfer cannot complete before the
+    producing computation does.
+    """
+    jax.block_until_ready(out)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel"):
+            jax.device_get(leaf.ravel()[:1])
+
+
+def timed(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> dict:
+    """-> {"mean_s", "best_s", "iters"} with device completion barriers."""
+    for _ in range(warmup):
+        _sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return {"mean_s": sum(times) / len(times), "best_s": min(times),
+            "iters": iters}
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/atsm_trace"):
+    """``with trace(): step()`` -> TensorBoard-viewable device trace."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def flops_estimate(fn: Callable, *args) -> float:
+    """XLA's FLOPs estimate for one call of ``jit(fn)`` (f64 count)."""
+    lowered = jax.jit(fn).lower(*args)
+    analysis = lowered.compile().cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    return float(analysis.get("flops", -1.0)) if analysis else -1.0

@@ -1,0 +1,78 @@
+"""Stage-level timing breakdown of the separation path on the current device.
+
+    python scripts/profile_forward.py [--chunks 16] [--dtype bfloat16]
+
+Times (compile excluded): DSP front-end, frozen encoder, one head, the fused
+4-stem chunk forward, and the OLA reconstruction; prints seconds and the
+derived audio-sec/sec for a 6 s x N-chunk batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_to_sheet_music_tpu.models import atht, htdemucs
+from audio_to_sheet_music_tpu.utils.profiling import timed
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    params = atht.init(jax.random.PRNGKey(0))
+    b, t = args.chunks, 264600
+    wav = jnp.asarray(0.1 * np.random.default_rng(0).standard_normal((b, 2, t)),
+                      jnp.float32)
+    emb = jnp.zeros((b, 512), jnp.float32)
+    embs4 = jnp.zeros((4, 512), jnp.float32)
+
+    @jax.jit
+    def dsp_only(wav):
+        z, mag, x, xt, *_ = htdemucs.normalize_inputs(wav)
+        return mag, x, xt
+
+    @functools.partial(jax.jit, static_argnames=())
+    def encode_only(params, wav):
+        enc = atht.encode_mixture(params, wav, dtype)
+        return enc["x_enc"], enc["xt_enc"]
+
+    @jax.jit
+    def one_stem(params, wav, emb):
+        return atht.forward_with_text_emb(params, wav, emb, dtype)
+
+    @jax.jit
+    def four_stem(params, wav, embs):
+        enc = atht.encode_mixture(params, wav, dtype)
+        outs = [atht.apply_head(params, enc,
+                                jnp.broadcast_to(e[None], (b, 512)))
+                for e in embs]
+        return jnp.stack(outs)
+
+    audio_sec = b * 6.0
+    for name, fn, fnargs in [
+        ("dsp_frontend", dsp_only, (wav,)),
+        ("encode", encode_only, (params, wav)),
+        ("forward_1stem", one_stem, (params, wav, emb)),
+        ("forward_4stem", four_stem, (params, wav, embs4)),
+    ]:
+        r = timed(fn, *fnargs, warmup=1, iters=3)
+        rate = audio_sec / r["best_s"]
+        mult = 4 if name.endswith("4stem") else 1
+        print(f"{name:>16}: {r['best_s']*1e3:8.1f} ms  "
+              f"({rate * mult:7.1f} stem-audio-sec/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Eval harness + utils/apps tests on the synthetic fixture."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_to_sheet_music_tpu.data import synthetic_tracks
+from audio_to_sheet_music_tpu.eval import (aggregate_results, compute_sdr,
+                                           compute_sisdr, evaluate_model,
+                                           format_results_table, save_results)
+from audio_to_sheet_music_tpu.text.prompts import STEM_NAMES
+
+
+@pytest.fixture(scope="module")
+def tracks(tmp_path_factory):
+    return synthetic_tracks(2, seconds=3.0,
+                            cache_dir=tmp_path_factory.mktemp("eval_synth"))
+
+
+def oracle_separate_all(mixture):
+    """Not a real separator — used to validate the harness wiring."""
+    raise NotImplementedError
+
+
+class TestHarness:
+    def test_metrics_identities(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        assert compute_sdr(x, x) == pytest.approx(30.0)        # clamp ceiling
+        assert compute_sisdr(2.0 * x, x) == pytest.approx(30.0)
+        noise = rng.standard_normal((2, 5000)).astype(np.float32)
+        assert compute_sdr(noise, x) < 0.0
+
+    def test_oracle_eval_perfect_sdr(self, tracks):
+        """Oracle separator (returns ground truth) hits the +30 dB clamp."""
+        gt = {t.name: t.load(mmap=False) for t in tracks}
+        current = {}
+
+        def separate_all(mixture):
+            arr = current["arr"]
+            return {s: arr[1 + i] for i, s in enumerate(STEM_NAMES)}
+
+        results = []
+        for t in tracks:
+            current["arr"] = gt[t.name]
+            results.extend(evaluate_model(separate_all, [t], "oracle",
+                                          verbose=False))
+        agg = aggregate_results(results)
+        assert agg["sdr"]["average"] == pytest.approx(30.0)
+
+    def test_json_schema_matches_reference(self, tracks, tmp_path):
+        def separate_all(mixture):
+            return {s: np.zeros_like(mixture) for s in STEM_NAMES}
+
+        results = evaluate_model(separate_all, tracks, "zeros", verbose=False)
+        save_results({"zeros": results}, tmp_path / "evaluation_results.json")
+        payload = json.loads((tmp_path / "evaluation_results.json").read_text())
+        entry = payload["zeros"]
+        assert set(entry) == {"per_track", "aggregate"}
+        pt = entry["per_track"][0]
+        assert set(pt) == {"track", "sdr", "sisdr"}
+        assert set(pt["sdr"]) == set(STEM_NAMES) | {"average"}
+        assert set(entry["aggregate"]) == {"sdr", "sisdr"}
+        table = format_results_table({"zeros": results})
+        assert "SDR (dB)" in table and "zeros" in table
+
+    def test_bad_track_skipped(self, tracks):
+        def explode(mixture):
+            raise RuntimeError("boom")
+
+        results = evaluate_model(explode, tracks, "broken", verbose=False)
+        assert results == []
+
+
+class TestUtils:
+    def test_wav_roundtrip_and_resample(self, tmp_path):
+        from audio_to_sheet_music_tpu.utils import audio_io
+
+        rng = np.random.default_rng(0)
+        wav = (0.5 * rng.standard_normal((2, 22050))).astype(np.float32)
+        audio_io.write_wav(tmp_path / "x.wav", wav)
+        sr, back = audio_io.read_wav(tmp_path / "x.wav")
+        assert sr == 44100
+        np.testing.assert_allclose(back, np.clip(wav, -1, 1), atol=2e-4)
+        down = audio_io.resample(wav, 44100, 22050)
+        assert down.shape == (2, 11025)
+        assert audio_io.to_stereo(wav[:1]).shape == (2, 22050)
+
+    def test_plotting_figures(self, tmp_path):
+        from audio_to_sheet_music_tpu.utils import plotting
+
+        rng = np.random.default_rng(1)
+        wav = rng.standard_normal((2, 8192)).astype(np.float32)
+        fig = plotting.plot_spectrogram(wav, "t")
+        plotting.save_figure(fig, tmp_path / "a.png")
+        fig = plotting.plot_separation_comparison(wav, wav, wav, "drums")
+        plotting.save_figure(fig, tmp_path / "b.png")
+        fig = plotting.plot_all_stems(wav, {"drums": wav, "bass": wav})
+        plotting.save_figure(fig, tmp_path / "c.png")
+        assert (tmp_path / "a.png").stat().st_size > 0
+
+    def test_wandb_helpers_noop_without_wandb(self):
+        from audio_to_sheet_music_tpu.utils import wandb_log
+
+        wav = np.zeros((2, 1000), np.float32)
+        wandb_log.log_spectrogram_to_wandb(wav, "k")
+        wandb_log.log_audio_to_wandb(wav, "k")
+        wandb_log.log_separation_to_wandb(wav, wav, wav, "drums")
+        wandb_log.log_all_stems_to_wandb(wav, {"drums": wav})
+
+    def test_embedding_tool_clustering_stats(self):
+        from audio_to_sheet_music_tpu.apps.embedding_tool import (
+            analyze_clustering, collect_prompts)
+
+        prompts, cats = collect_prompts()
+        assert len(prompts) == len(cats) >= 15
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((len(prompts), 16)).astype(np.float32)
+        stats = analyze_clustering(emb, cats)
+        assert set(stats) == {"intra_category_mean", "inter_category_mean",
+                              "separation"}
