@@ -9,3 +9,4 @@ from .chunked import (  # noqa: F401
     separate_chunked,
 )
 from .session import Separator  # noqa: F401
+from .streaming import StreamingSeparator  # noqa: F401

@@ -89,12 +89,16 @@ def frame_song(x: jnp.ndarray, grid: ChunkGrid, padded: bool = False) -> jnp.nda
 
 def overlap_add_weighted(chunks: jnp.ndarray, grid: ChunkGrid,
                          overlap: int,
-                         valid_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                         valid_mask: jnp.ndarray | None = None,
+                         normalize: bool = True):
     """``(n_chunks, C, segment)`` -> ``(C, length)`` weighted overlap-add.
 
     Accumulates ``sum(chunk * w)`` and ``sum(w)`` with a scatter-add over the
     chunk grid and divides by the clamped weight sum (reference
     `app.py:160-177`).  ``valid_mask (n,)`` zeroes padded bucket chunks.
+    With ``normalize=False`` returns the raw ``(acc (C, padded), wsum
+    (padded,))`` pair instead — the streaming API carries these across block
+    boundaries before normalising.
     """
     n, c, seg = chunks.shape
     w = fade_weights(seg, overlap, chunks.dtype)                 # (L,)
@@ -110,6 +114,8 @@ def overlap_add_weighted(chunks: jnp.ndarray, grid: ChunkGrid,
     flat = weighted.transpose(1, 0, 2).reshape(c, n * seg)
     acc = jnp.zeros((c, total), chunks.dtype).at[:, idx].add(flat)
     wsum = jnp.zeros((total,), chunks.dtype).at[idx].add(wn.reshape(-1))
+    if not normalize:
+        return acc, wsum
     out = acc / jnp.maximum(wsum, 1e-8)[None, :]
     return out[:, : grid.length]
 

@@ -1,0 +1,133 @@
+"""Streaming long-form separation: bounded memory, incremental output.
+
+The reference handles long audio only by materialising the whole song and
+looping host-side (`app.py:129-178`); this API separates an **unbounded**
+stream with O(block) memory: feed samples as they arrive, receive separated
+samples as soon as their overlap-add weights are final.
+
+Design: the chunk grid is global (chunk ``k`` starts at ``k*hop``).  A block
+of ``block_chunks`` consecutive chunks runs through the same fused device
+sweep as offline separation, but returns the *unnormalised* (acc, weight)
+pair; the overlapping tail (``segment - hop`` samples) carries across block
+boundaries on the host, so emitted audio is bit-identical to the offline
+path away from stream edges (verified in ``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import atht
+from ..text.prompts import STEM_NAMES
+from . import chunked
+
+
+class StreamingSeparator:
+    """Incremental multi-stem separation over an audio stream.
+
+    Usage::
+
+        stream = StreamingSeparator(separator, stems=("vocals",))
+        for piece in stream.feed(samples):   # (n_stems, 2, n) pieces
+            play(piece)
+        tail = stream.flush()
+    """
+
+    def __init__(self, separator, stems: Sequence[str] = STEM_NAMES,
+                 block_chunks: int = 8):
+        self.sep = separator
+        self.stems = list(stems)
+        self.block_chunks = block_chunks
+        self.segment = separator.segment
+        self.hop = separator.segment - separator.overlap
+        self.overlap = separator.overlap
+        self._embs = jnp.stack([separator.text_embedding(s) for s in stems])
+        self._buf = np.zeros((2, 0), np.float32)     # pending input samples
+        self._acc = None                              # carry: (S*2, tail)
+        self._wsum = None                             # carry: (tail,)
+        self._block_fn = None
+        self._span = (block_chunks - 1) * self.hop + self.segment
+
+    def _get_block_fn(self):
+        if self._block_fn is not None:
+            return self._block_fn
+        grid = chunked.ChunkGrid(segment=self.segment, hop=self.hop,
+                                 n_chunks=self.block_chunks, length=self._span)
+        sep = self.sep
+        n_stems = len(self.stems)
+
+        def block(params, song, embs):
+            chunks = chunked.frame_song(song, grid, padded=True)
+            enc = atht.encode_mixture(params, chunks, sep.compute_dtype)
+            outs = []
+            for s in range(n_stems):
+                e = jnp.broadcast_to(embs[s][None], (grid.n_chunks, 512))
+                outs.append(atht.apply_head(params, enc, e))
+            stacked = jnp.stack(outs)
+            s_, b_, c_, l_ = stacked.shape
+            flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
+            return chunked.overlap_add_weighted(flat, grid, sep.overlap,
+                                                normalize=False)
+
+        self._block_fn = jax.jit(block)
+        return self._block_fn
+
+    def _emit(self, acc: np.ndarray, wsum: np.ndarray, n: int) -> np.ndarray:
+        out = acc[:, :n] / np.maximum(wsum[:n], 1e-8)[None, :]
+        return out.reshape(len(self.stems), 2, -1).astype(np.float32)
+
+    def feed(self, samples: np.ndarray) -> Iterator[np.ndarray]:
+        """Append ``(2, n)`` samples; yield finalised ``(S, 2, m)`` pieces."""
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, np.float32)], axis=-1)
+        block_fn = self._get_block_fn()
+        advance = self.block_chunks * self.hop
+        while self._buf.shape[-1] >= self._span:
+            song = self._buf[:, : self._span]
+            acc, wsum = block_fn(self.sep.params, jnp.asarray(song),
+                                 self._embs)
+            acc = np.array(acc, np.float32)
+            wsum = np.array(wsum, np.float32)
+            if self._acc is not None:
+                tail = self._acc.shape[-1]
+                acc[:, :tail] += self._acc
+                wsum[:tail] += self._wsum
+            # samples >= advance still receive weight from the next block
+            yield self._emit(acc, wsum, advance)
+            self._acc = acc[:, advance:]
+            self._wsum = wsum[advance:]
+            self._buf = self._buf[:, advance:]
+
+    def flush(self) -> np.ndarray:
+        """Finalise the remaining buffered audio; returns ``(S, 2, m)``."""
+        n = self._buf.shape[-1]
+        pieces = []
+        if n > 0:
+            grid = chunked.plan_chunks(n, self.segment, self.overlap,
+                                       bucket=self.block_chunks)
+            padded = np.pad(self._buf, ((0, 0), (0, grid.padded_length - n)))
+            block_fn = self._get_block_fn()
+            # reuse the block program when the grid matches; else pad chunks
+            acc, wsum = block_fn(self.sep.params, jnp.asarray(
+                padded[:, : self._span] if padded.shape[-1] >= self._span
+                else np.pad(padded, ((0, 0), (0, self._span - padded.shape[-1])))),
+                self._embs)
+            acc = np.array(acc, np.float32)
+            wsum = np.array(wsum, np.float32)
+            if self._acc is not None:
+                tail = self._acc.shape[-1]
+                acc[:, :tail] += self._acc
+                wsum[:tail] += self._wsum
+            piece = self._emit(acc, wsum, n)
+            pieces.append(piece)
+        elif self._acc is not None:
+            pieces.append(self._emit(self._acc, self._wsum,
+                                     self._acc.shape[-1]))
+        self._buf = np.zeros((2, 0), np.float32)
+        self._acc = self._wsum = None
+        return (np.concatenate(pieces, axis=-1) if pieces
+                else np.zeros((len(self.stems), 2, 0), np.float32))

@@ -60,6 +60,19 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(rec, step=step)
 
+    @property
+    def media_active(self) -> bool:
+        return self._wandb is not None
+
+    def log_media(self, mixture, target, estimate, stem: str, step: int) -> None:
+        """Separation triptych + audio clips (reference `src/train.py:113-123`)."""
+        if self._wandb is None:
+            return
+        from ..utils import wandb_log
+
+        wandb_log.log_separation_to_wandb(mixture, target, estimate, stem,
+                                          step=step, prefix="train_media")
+
 
 def _subset(dataset: StemSegmentDataset, pct: float, seed: int = 0):
     """Random percentage subset (reference `src/train.py:444-452`)."""
@@ -92,13 +105,28 @@ def train(cfg: Config, params=None, mesh=None,
     train_tracks = discover_tracks(cfg.data.train_dir)
     val_tracks = discover_tracks(cfg.data.test_dir) or train_tracks
     seg = cfg.data.segment_samples
-    train_ds = _subset(StemSegmentDataset(train_tracks, seg,
-                                          random_segments=True,
-                                          augment=cfg.data.augment),
-                       cfg.data.pct_train)
+
+    def make_train_loader():
+        # C++ loader when every track is a decode-once npy cache and no
+        # percentage subset is requested; Python fallback otherwise.
+        from ..data.native_loader import NativeBatchLoader, native_available
+
+        if (cfg.data.pct_train >= 1.0 and native_available()
+                and all(t.kind == "npy" for t in train_tracks)):
+            return NativeBatchLoader(
+                [t.path for t in train_tracks], seg, cfg.training.batch_size,
+                tokenizer, n_threads=max(2, cfg.training.num_workers or 4),
+                augment=cfg.data.augment,
+                random_segments=cfg.data.random_segments)
+        ds = _subset(StemSegmentDataset(train_tracks, seg,
+                                        random_segments=True,
+                                        augment=cfg.data.augment),
+                     cfg.data.pct_train)
+        return BatchLoader(ds, cfg.training.batch_size, tokenizer)
+
+    train_loader = make_train_loader()
     val_ds = _subset(StemSegmentDataset(val_tracks, seg), cfg.data.pct_test,
                      seed=1)
-    train_loader = BatchLoader(train_ds, cfg.training.batch_size, tokenizer)
     val_loader = BatchLoader(val_ds, cfg.training.batch_size, tokenizer,
                              shuffle=False)
 
@@ -140,6 +168,7 @@ def train(cfg: Config, params=None, mesh=None,
         return arrs, batch["stem_index"]
 
     global_step = int(state.step)
+    mean_loss = float("nan")
     for epoch in range(start_epoch, cfg.training.num_epochs):
         t0 = time.time()
         epoch_metrics = []
@@ -152,6 +181,17 @@ def train(cfg: Config, params=None, mesh=None,
             if global_step % cfg.wandb.log_every == 0:
                 logger.log({f"train/{k}": float(v) for k, v in metrics.items()},
                            global_step)
+                if logger.media_active:
+                    params_now = {"htdemucs": frozen["htdemucs"],
+                                  "clap": frozen["clap"], "head": state.head}
+                    est = atht.forward(params_now, batch["mixture"][:1],
+                                       batch["input_ids"][:1],
+                                       batch["attention_mask"][:1],
+                                       compute_dtype)
+                    stem = STEM_NAMES[int(raw["stem_index"][0])]
+                    logger.log_media(np.asarray(batch["mixture"][0]),
+                                     np.asarray(batch["target"][0]),
+                                     np.asarray(est[0]), stem, global_step)
             epoch_metrics.append(float(metrics["loss/total"]))
         dt = time.time() - t0
         mean_loss = float(np.mean(epoch_metrics)) if epoch_metrics else np.nan
@@ -187,5 +227,6 @@ def train(cfg: Config, params=None, mesh=None,
                               "best_sdr": best_sdr},
                              is_best=is_best, every=cfg.wandb.save_every)
 
-    return {"best_sdr": float(best_sdr), "final_epoch": cfg.training.num_epochs - 1,
-            "final_loss": mean_loss if cfg.training.num_epochs else np.nan}
+    return {"best_sdr": float(best_sdr),
+            "final_epoch": cfg.training.num_epochs - 1,
+            "final_loss": mean_loss}
