@@ -44,9 +44,31 @@ def build_separator(checkpoint: str | None):
                      normalize_text=True)
 
 
+def download_youtube_audio(url: str, out_dir: str = "temp") -> Path:
+    """YouTube -> local audio file via yt-dlp (reference `app.py:180-198`).
+
+    Optional dependency: raises with a clear message when yt-dlp is missing
+    (it is not installed in offline environments).
+    """
+    try:
+        import yt_dlp
+    except ImportError as e:
+        raise RuntimeError("yt-dlp is not installed; paste a local .wav "
+                           "path instead") from e
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    opts = {"format": "bestaudio/best",
+            "outtmpl": str(out / "yt_audio.%(ext)s"), "quiet": True}
+    with yt_dlp.YoutubeDL(opts) as ydl:
+        info = ydl.extract_info(url, download=True)
+        return Path(ydl.prepare_filename(info))
+
+
 def _load_input(audio, path_text):
     from ..utils import audio_io
 
+    if path_text and str(path_text).startswith(("http://", "https://")):
+        path_text = str(download_youtube_audio(path_text))
     if audio is not None:
         sr, data = audio                       # gradio numpy audio
         wav = data.T.astype(np.float32) if data.ndim == 2 else data[None].astype(np.float32)

@@ -103,28 +103,39 @@ class StreamingSeparator:
             self._buf = self._buf[:, advance:]
 
     def flush(self) -> np.ndarray:
-        """Finalise the remaining buffered audio; returns ``(S, 2, m)``."""
-        n = self._buf.shape[-1]
+        """Finalise the remaining buffered audio; returns ``(S, 2, m)``.
+
+        Every chunk whose start lies inside the remaining audio contributes
+        (matching the offline valid-chunk rule), so short tails may span
+        several zero-padded blocks.
+        """
+        block_fn = self._get_block_fn()
+        advance = self.block_chunks * self.hop
         pieces = []
-        if n > 0:
-            grid = chunked.plan_chunks(n, self.segment, self.overlap,
-                                       bucket=self.block_chunks)
-            padded = np.pad(self._buf, ((0, 0), (0, grid.padded_length - n)))
-            block_fn = self._get_block_fn()
-            # reuse the block program when the grid matches; else pad chunks
-            acc, wsum = block_fn(self.sep.params, jnp.asarray(
-                padded[:, : self._span] if padded.shape[-1] >= self._span
-                else np.pad(padded, ((0, 0), (0, self._span - padded.shape[-1])))),
-                self._embs)
+        while self._buf.shape[-1] > 0:
+            n = self._buf.shape[-1]
+            song = np.zeros((2, self._span), np.float32)
+            take = min(n, self._span)
+            song[:, :take] = self._buf[:, :take]
+            acc, wsum = block_fn(self.sep.params, jnp.asarray(song),
+                                 self._embs)
             acc = np.array(acc, np.float32)
             wsum = np.array(wsum, np.float32)
             if self._acc is not None:
                 tail = self._acc.shape[-1]
                 acc[:, :tail] += self._acc
                 wsum[:tail] += self._wsum
-            piece = self._emit(acc, wsum, n)
-            pieces.append(piece)
-        elif self._acc is not None:
+            n_chunks_needed = (n - 1) // self.hop + 1   # chunk starts < n
+            if n_chunks_needed <= self.block_chunks:
+                pieces.append(self._emit(acc, wsum, n))
+                self._buf = np.zeros((2, 0), np.float32)
+                self._acc = self._wsum = None
+                break
+            pieces.append(self._emit(acc, wsum, advance))
+            self._acc = acc[:, advance:]
+            self._wsum = wsum[advance:]
+            self._buf = self._buf[:, advance:]
+        if not pieces and self._acc is not None:
             pieces.append(self._emit(self._acc, self._wsum,
                                      self._acc.shape[-1]))
         self._buf = np.zeros((2, 0), np.float32)

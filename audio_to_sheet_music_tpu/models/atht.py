@@ -112,9 +112,8 @@ def text_cross_attention_apply(p: Params, x: jnp.ndarray, xt: jnp.ndarray,
 # Trainable decoders (reference ATHTDemucs_v2.py:61-139)
 # ---------------------------------------------------------------------------
 
-def _decoder_init(key, freq: bool) -> Params:
+def _decoder_init(key, freq: bool, chans=tuple(DECODER_CHANNELS)) -> Params:
     layers = []
-    chans = DECODER_CHANNELS
     for i in range(len(chans) - 1):
         key, k = jax.random.split(key)
         last = i == len(chans) - 2
@@ -165,15 +164,17 @@ def time_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
 # Full model
 # ---------------------------------------------------------------------------
 
-def head_init(key) -> Params:
-    """Trainable head: cross-attention + decoders + output convs (~5 M)."""
+def head_init(key, decoder_channels=tuple(DECODER_CHANNELS),
+              text_dim: int = TEXT_DIM) -> Params:
+    """Trainable head: cross-attention + decoders + output convs (~3 M)."""
     k = jax.random.split(key, 5)
+    chans = tuple(decoder_channels)
     return {
-        "text_attn": text_cross_attention_init(k[0]),
-        "freq_decoder": _decoder_init(k[1], freq=True),
-        "time_decoder": _decoder_init(k[2], freq=False),
-        "freq_out": nn.conv2d_init(k[3], 4, 2, (1, 1)),
-        "time_out": nn.conv1d_init(k[4], 4, 2, 1),
+        "text_attn": text_cross_attention_init(k[0], chans[0], text_dim),
+        "freq_decoder": _decoder_init(k[1], freq=True, chans=chans),
+        "time_decoder": _decoder_init(k[2], freq=False, chans=chans),
+        "freq_out": nn.conv2d_init(k[3], chans[-1], 2, (1, 1)),
+        "time_out": nn.conv1d_init(k[4], chans[-1], 2, 1),
     }
 
 
@@ -184,6 +185,23 @@ def init(key) -> Params:
         "htdemucs": htdemucs.htdemucs_init(k1),
         "clap": clap_text.clap_text_init(k2),
         "head": head_init(k3),
+    }
+
+
+def init_tiny(key) -> Params:
+    """A tiny family member with the full architecture and contracts.
+
+    Same depth/wiring as the flagship (4-layer 2048->8 bin ladder, cross
+    transformer, RoBERTa text tower, text-conditioned head) at ~1/100 the
+    width — used for fast integration tests and CI-class environments.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "htdemucs": htdemucs.htdemucs_init(
+            k1, channels=(8, 16, 24, 32), bottom_channels=64, t_layers=2),
+        "clap": clap_text.clap_text_init(k2, num_layers=2, hidden=128,
+                                         vocab_size=50265),
+        "head": head_init(k3, decoder_channels=(32, 16, 8, 8, 4)),
     }
 
 

@@ -46,43 +46,49 @@ PAD_TOKEN_ID = 1
 LN_EPS = 1e-12
 
 
-def clap_text_init(key) -> Params:
-    keys = jax.random.split(key, NUM_LAYERS + 5)
+def clap_text_init(key, num_layers: int = NUM_LAYERS,
+                   hidden: int = HIDDEN, ff: int | None = None,
+                   vocab_size: int = VOCAB_SIZE,
+                   projection_dim: int = PROJECTION_DIM) -> Params:
+    """Defaults = laion/clap-htsat-unfused; smaller values build test-sized
+    family members (heads derive as hidden//64, the BERT convention)."""
+    ff = ff if ff is not None else 4 * hidden
+    keys = jax.random.split(key, num_layers + 5)
     layers = []
-    for i in range(NUM_LAYERS):
+    for i in range(num_layers):
         k = jax.random.split(keys[i], 6)
         layers.append({
             "attention": {
                 "self": {
-                    "query": nn.linear_init(k[0], HIDDEN, HIDDEN),
-                    "key": nn.linear_init(k[1], HIDDEN, HIDDEN),
-                    "value": nn.linear_init(k[2], HIDDEN, HIDDEN),
+                    "query": nn.linear_init(k[0], hidden, hidden),
+                    "key": nn.linear_init(k[1], hidden, hidden),
+                    "value": nn.linear_init(k[2], hidden, hidden),
                 },
                 "output": {
-                    "dense": nn.linear_init(k[3], HIDDEN, HIDDEN),
-                    "LayerNorm": nn.norm_affine_init(HIDDEN),
+                    "dense": nn.linear_init(k[3], hidden, hidden),
+                    "LayerNorm": nn.norm_affine_init(hidden),
                 },
             },
-            "intermediate": {"dense": nn.linear_init(k[4], HIDDEN, FF)},
+            "intermediate": {"dense": nn.linear_init(k[4], hidden, ff)},
             "output": {
-                "dense": nn.linear_init(k[5], FF, HIDDEN),
-                "LayerNorm": nn.norm_affine_init(HIDDEN),
+                "dense": nn.linear_init(k[5], ff, hidden),
+                "LayerNorm": nn.norm_affine_init(hidden),
             },
         })
-    ke = jax.random.split(keys[NUM_LAYERS], 3)
-    kp = jax.random.split(keys[NUM_LAYERS + 1], 3)
+    ke = jax.random.split(keys[num_layers], 3)
+    kp = jax.random.split(keys[num_layers + 1], 3)
     return {
         "embeddings": {
-            "word_embeddings": nn.embedding_init(ke[0], VOCAB_SIZE, HIDDEN),
-            "position_embeddings": nn.embedding_init(ke[1], MAX_POSITIONS, HIDDEN),
-            "token_type_embeddings": nn.embedding_init(ke[2], 1, HIDDEN),
-            "LayerNorm": nn.norm_affine_init(HIDDEN),
+            "word_embeddings": nn.embedding_init(ke[0], vocab_size, hidden),
+            "position_embeddings": nn.embedding_init(ke[1], MAX_POSITIONS, hidden),
+            "token_type_embeddings": nn.embedding_init(ke[2], 1, hidden),
+            "LayerNorm": nn.norm_affine_init(hidden),
         },
         "layer": layers,
-        "pooler": {"dense": nn.linear_init(kp[0], HIDDEN, HIDDEN)},
+        "pooler": {"dense": nn.linear_init(kp[0], hidden, hidden)},
         "text_projection": {
-            "linear1": nn.linear_init(kp[1], HIDDEN, PROJECTION_DIM),
-            "linear2": nn.linear_init(kp[2], PROJECTION_DIM, PROJECTION_DIM),
+            "linear1": nn.linear_init(kp[1], hidden, projection_dim),
+            "linear2": nn.linear_init(kp[2], projection_dim, projection_dim),
         },
     }
 
@@ -95,11 +101,12 @@ def _position_ids(input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.nd
 
 def _attention(p: Params, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """Post-LN BERT self-attention block with additive mask bias."""
-    b, l, _ = x.shape
-    head_dim = HIDDEN // NUM_HEADS
+    b, l, hidden = x.shape
+    num_heads = max(1, hidden // 64)   # BERT head_dim=64 convention
+    head_dim = hidden // num_heads
 
     def split(h):
-        return h.reshape(b, l, NUM_HEADS, head_dim).transpose(0, 2, 1, 3)
+        return h.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     q = split(nn.linear(p["self"]["query"], x))
     k = split(nn.linear(p["self"]["key"], x))
@@ -109,7 +116,7 @@ def _attention(p: Params, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     scores = scores + bias
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhls,bhsd->bhld", attn, v)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, HIDDEN)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, hidden)
     out = nn.linear(p["output"]["dense"], ctx)
     return nn.layer_norm(p["output"]["LayerNorm"], out + x, eps=LN_EPS)
 

@@ -230,12 +230,12 @@ def create_2d_sin_embedding(d_model: int, height: int, width: int,
 # Cross-domain transformer (Full.txt:467-628)
 # ---------------------------------------------------------------------------
 
-def _transformer_layer_init(key, dim: int, cross: bool) -> Params:
+def _transformer_layer_init(key, dim: int, cross: bool, ff: int = T_FF) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
     p = {
         ("cross_attn" if cross else "self_attn"): mha_init(k1, dim),
-        "linear1": nn.linear_init(k2, dim, T_FF),
-        "linear2": nn.linear_init(k3, T_FF, dim),
+        "linear1": nn.linear_init(k2, dim, ff),
+        "linear2": nn.linear_init(k3, ff, dim),
         "norm1": nn.norm_affine_init(dim),
         "norm2": nn.norm_affine_init(dim),
         "norm_out": nn.norm_affine_init(dim),
@@ -251,6 +251,13 @@ def _ff(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return nn.linear(p["linear2"], nn.gelu(nn.linear(p["linear1"], x)))
 
 
+def _n_heads(dim: int) -> int:
+    """Head count by the head_dim=64 convention (512/8 for the reference
+    tower); keeps tiny test configurations consistent without threading a
+    static argument through every caller."""
+    return max(1, dim // 64)
+
+
 def _group_norm_tokens(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """MyGroupNorm(1, C) over a (B, L, C) token stream: stats over (L, C)."""
     return nn.group_norm(p, x.transpose(0, 2, 1), 1).transpose(0, 2, 1)
@@ -259,7 +266,8 @@ def _group_norm_tokens(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 def _self_layer_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Pre-LN self-attention layer with LayerScale + GroupNorm out."""
     h = nn.layer_norm(p["norm1"], x)
-    x = x + nn.layer_scale(p["gamma_1"], mha(p["self_attn"], h, h, h, T_HEADS),
+    x = x + nn.layer_scale(p["gamma_1"],
+                           mha(p["self_attn"], h, h, h, _n_heads(x.shape[-1])),
                            channel_last=True)
     x = x + nn.layer_scale(p["gamma_2"], _ff(p, nn.layer_norm(p["norm2"], x)),
                            channel_last=True)
@@ -270,20 +278,24 @@ def _cross_layer_apply(p: Params, q: jnp.ndarray, mem: jnp.ndarray) -> jnp.ndarr
     """Pre-LN cross-attention layer: q attends to the other branch."""
     qn = nn.layer_norm(p["norm1"], q)
     mn = nn.layer_norm(p["norm2"], mem)
-    x = q + nn.layer_scale(p["gamma_1"], mha(p["cross_attn"], qn, mn, mn, T_HEADS),
+    x = q + nn.layer_scale(p["gamma_1"],
+                           mha(p["cross_attn"], qn, mn, mn, _n_heads(q.shape[-1])),
                            channel_last=True)
     x = x + nn.layer_scale(p["gamma_2"], _ff(p, nn.layer_norm(p["norm3"], x)),
                            channel_last=True)
     return _group_norm_tokens(p["norm_out"], x)
 
 
-def crosstransformer_init(key, dim: int = BOTTOM_CHANNELS) -> Params:
-    keys = jax.random.split(key, 2 * T_LAYERS)
+def crosstransformer_init(key, dim: int = BOTTOM_CHANNELS,
+                          n_layers: int = T_LAYERS,
+                          ff: int | None = None) -> Params:
+    ff = ff if ff is not None else 4 * dim
+    keys = jax.random.split(key, 2 * n_layers)
     layers, layers_t = [], []
-    for idx in range(T_LAYERS):
+    for idx in range(n_layers):
         cross = idx % 2 == 1
-        layers.append(_transformer_layer_init(keys[2 * idx], dim, cross))
-        layers_t.append(_transformer_layer_init(keys[2 * idx + 1], dim, cross))
+        layers.append(_transformer_layer_init(keys[2 * idx], dim, cross, ff))
+        layers_t.append(_transformer_layer_init(keys[2 * idx + 1], dim, cross, ff))
     return {
         "norm_in": nn.norm_affine_init(dim),
         "norm_in_t": nn.norm_affine_init(dim),
@@ -313,14 +325,14 @@ def crosstransformer_apply(p: Params, x: jnp.ndarray, xt: jnp.ndarray
     xts = nn.layer_norm(p["norm_in_t"], xts)
     xts = xts + T_WEIGHT_POS_EMBED * pos1d.astype(xts.dtype)
 
-    for idx in range(T_LAYERS):
-        if idx % 2 == 0:
-            xs = _self_layer_apply(p["layers"][idx], xs)
-            xts = _self_layer_apply(p["layers_t"][idx], xts)
+    for lp, ltp in zip(p["layers"], p["layers_t"]):
+        if "self_attn" in lp:
+            xs = _self_layer_apply(lp, xs)
+            xts = _self_layer_apply(ltp, xts)
         else:
             old = xs
-            xs = _cross_layer_apply(p["layers"][idx], xs, xts)
-            xts = _cross_layer_apply(p["layers_t"][idx], xts, old)
+            xs = _cross_layer_apply(lp, xs, xts)
+            xts = _cross_layer_apply(ltp, xts, old)
 
     x = xs.reshape(b, t1, fr, c).transpose(0, 3, 2, 1)
     xt = xts.transpose(0, 2, 1)
@@ -331,31 +343,36 @@ def crosstransformer_apply(p: Params, x: jnp.ndarray, xt: jnp.ndarray
 # Full tower
 # ---------------------------------------------------------------------------
 
-def htdemucs_init(key) -> Params:
-    """Random-init params with the exact pretrained-tower shapes.
+def htdemucs_init(key, channels=tuple(CHANNELS),
+                  bottom_channels: int = BOTTOM_CHANNELS,
+                  t_layers: int = T_LAYERS) -> Params:
+    """Random-init params with the pretrained-tower shapes (defaults).
 
-    The published checkpoint is loaded over this structure by
-    ``convert.torch_import`` when available.
+    The published checkpoint is loaded over the default structure by
+    ``convert.torch_import``.  Non-default ``channels`` / ``bottom_channels``
+    / ``t_layers`` build smaller family members (e.g. test-sized towers);
+    the depth stays 4 (the 2048-bin -> 8-bin stride-4 ladder).
     """
-    n = len(CHANNELS)
+    channels = list(channels)
+    n = len(channels)
     keys = jax.random.split(key, 4 * n + 7)
     ki = iter(keys)
     enc, tenc, dec, tdec = [], [], [], []
     chin_f, chin_t = CAC_CHANNELS, AUDIO_CHANNELS
-    for ch in CHANNELS:
+    for ch in channels:
         enc.append(henc_layer_init(next(ki), chin_f, ch, freq=True))
         tenc.append(henc_layer_init(next(ki), chin_t, ch, freq=False))
         chin_f, chin_t = ch, ch
     n_src = len(SOURCES)
-    douts_f = [CHANNELS[-2], CHANNELS[-3], CHANNELS[-4], n_src * CAC_CHANNELS]
-    douts_t = [CHANNELS[-2], CHANNELS[-3], CHANNELS[-4], n_src * AUDIO_CHANNELS]
-    dins = [CHANNELS[-1], CHANNELS[-2], CHANNELS[-3], CHANNELS[-4]]
+    douts_f = channels[-2::-1] + [n_src * CAC_CHANNELS]
+    douts_t = channels[-2::-1] + [n_src * AUDIO_CHANNELS]
+    dins = channels[::-1]
     for i in range(n):
         dec.append(hdec_layer_init(next(ki), dins[i], douts_f[i], freq=True))
         tdec.append(hdec_layer_init(next(ki), dins[i], douts_t[i], freq=False))
     # ScaledEmbedding(512, 48) with smooth=True init: cumsum of normals
     # down-weighted by sqrt(row+1), pre-divided by the output scale.
-    w = jax.random.normal(next(ki), (FREQ_EMB_DIM, CHANNELS[0]), jnp.float32)
+    w = jax.random.normal(next(ki), (FREQ_EMB_DIM, channels[0]), jnp.float32)
     w = jnp.cumsum(w, axis=0) / jnp.sqrt(jnp.arange(1, FREQ_EMB_DIM + 1, dtype=jnp.float32))[:, None]
     w = w / SCALED_EMB_SCALE
     return {
@@ -364,11 +381,12 @@ def htdemucs_init(key) -> Params:
         "decoder": dec,
         "tdecoder": tdec,
         "freq_emb": {"embedding": {"weight": w}},
-        "channel_upsampler": nn.conv1d_init(next(ki), CHANNELS[-1], BOTTOM_CHANNELS, 1),
-        "channel_downsampler": nn.conv1d_init(next(ki), BOTTOM_CHANNELS, CHANNELS[-1], 1),
-        "channel_upsampler_t": nn.conv1d_init(next(ki), CHANNELS[-1], BOTTOM_CHANNELS, 1),
-        "channel_downsampler_t": nn.conv1d_init(next(ki), BOTTOM_CHANNELS, CHANNELS[-1], 1),
-        "crosstransformer": crosstransformer_init(next(ki)),
+        "channel_upsampler": nn.conv1d_init(next(ki), channels[-1], bottom_channels, 1),
+        "channel_downsampler": nn.conv1d_init(next(ki), bottom_channels, channels[-1], 1),
+        "channel_upsampler_t": nn.conv1d_init(next(ki), channels[-1], bottom_channels, 1),
+        "channel_downsampler_t": nn.conv1d_init(next(ki), bottom_channels, channels[-1], 1),
+        "crosstransformer": crosstransformer_init(next(ki), bottom_channels,
+                                                  t_layers),
     }
 
 
@@ -404,7 +422,7 @@ def encode(p: Params, x: jnp.ndarray, xt: jnp.ndarray
     skips and lengths for the decoders.
     """
     saved, saved_t, lengths, lengths_t = [], [], [], []
-    for idx in range(len(CHANNELS)):
+    for idx in range(len(p["encoder"])):
         lengths.append(x.shape[-1])
         lengths_t.append(xt.shape[-1])
         xt = henc_layer_apply(p["tencoder"][idx], xt, freq=False)
@@ -438,8 +456,9 @@ def forward(p: Params, mix: jnp.ndarray) -> jnp.ndarray:
 
     x, xt, saved, saved_t, lengths, lengths_t = encode(p, x, xt)
 
-    for idx in range(len(CHANNELS)):
-        last = idx == len(CHANNELS) - 1
+    n_layers = len(p["decoder"])
+    for idx in range(n_layers):
+        last = idx == n_layers - 1
         x, _ = hdec_layer_apply(p["decoder"][idx], x, saved.pop(), lengths.pop(),
                                 freq=True, last=last)
         xt, _ = hdec_layer_apply(p["tdecoder"][idx], xt, saved_t.pop(),

@@ -14,6 +14,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 
 def _sync(out) -> None:
@@ -27,7 +28,10 @@ def _sync(out) -> None:
     jax.block_until_ready(out)
     for leaf in jax.tree.leaves(out):
         if hasattr(leaf, "ravel"):
-            jax.device_get(leaf.ravel()[:1])
+            elt = leaf.ravel()[:1]
+            if jnp.issubdtype(elt.dtype, jnp.complexfloating):
+                elt = elt.real   # complex D2H is UNIMPLEMENTED on axon
+            jax.device_get(elt)
 
 
 def timed(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> dict:

@@ -88,7 +88,7 @@ class TestTrainStep:
         loader = BatchLoader(ds, batch_size=2, tokenizer=HashTokenizer(), seed=0)
         batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
 
-        params = atht.init(jax.random.PRNGKey(0))
+        params = atht.init_tiny(jax.random.PRNGKey(0))
         frozen = {"htdemucs": params["htdemucs"], "clap": params["clap"]}
         opt = make_optimizer(lr=3e-4, total_steps=None)
         state = TrainState.create(params["head"], opt)

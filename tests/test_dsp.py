@@ -158,3 +158,40 @@ def test_overlap_add_matches_naive(rng):
     for i in range(n):
         naive[:, i * hop : i * hop + length] += frames[:, i]
     np.testing.assert_allclose(out, naive, atol=1e-5)
+
+
+class TestMatmulFFT:
+    """MXU four-step DFT == jnp.fft (the TPU hot path, forced here on CPU)."""
+
+    def test_rfft_parity(self):
+        from audio_to_sheet_music_tpu.ops import dsp
+
+        rng = np.random.default_rng(0)
+        for n in (1024, 4096):
+            x = jnp.asarray(rng.standard_normal((6, n)), jnp.float32)
+            ours = np.asarray(dsp.rfft_matmul(x, n))
+            ref = np.fft.rfft(np.asarray(x), axis=-1)
+            scale = np.abs(ref).max()
+            np.testing.assert_allclose(ours.real, ref.real, atol=2e-4 * scale)
+            np.testing.assert_allclose(ours.imag, ref.imag, atol=2e-4 * scale)
+
+    def test_irfft_roundtrip(self):
+        from audio_to_sheet_music_tpu.ops import dsp
+
+        rng = np.random.default_rng(1)
+        for n in (1024, 4096):
+            x = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+            z = dsp.rfft_matmul(x, n)
+            back = np.asarray(dsp.irfft_matmul(z, n))
+            np.testing.assert_allclose(back, np.asarray(x), atol=2e-3)
+
+    def test_irfft_parity_vs_numpy(self):
+        from audio_to_sheet_music_tpu.ops import dsp
+
+        rng = np.random.default_rng(2)
+        n = 4096
+        z = (rng.standard_normal((3, n // 2 + 1))
+             + 1j * rng.standard_normal((3, n // 2 + 1))).astype(np.complex64)
+        ours = np.asarray(dsp.irfft_matmul(jnp.asarray(z), n))
+        ref = np.fft.irfft(z, n=n, axis=-1)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)

@@ -105,8 +105,11 @@ class TestHTDemucs:
         assert lengths_box["lengths"] == [336] * 4
         assert lengths_box["lengths_t"] == [343980, 85995, 21499, 5375]
 
-    def test_forward_baseline(self, params, small_wav):
-        out = htdemucs.forward(params, small_wav[:1])
+    def test_forward_baseline(self, small_wav):
+        tiny = htdemucs.htdemucs_init(jax.random.PRNGKey(1),
+                                      channels=(8, 16, 24, 32),
+                                      bottom_channels=64, t_layers=2)
+        out = jax.jit(htdemucs.forward)(tiny, small_wav[:1])
         assert out.shape == (1, 4, 2, 11025)
         assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -117,23 +120,27 @@ class TestHTDemucs:
 
 @pytest.fixture(scope="module")
 def atht_params():
-    return atht.init(jax.random.PRNGKey(0))
+    """Tiny family member: same architecture/wiring at ~1/100 width —
+    behavioural invariants are width-independent and this host has 1 core."""
+    return atht.init_tiny(jax.random.PRNGKey(0))
 
 
 class TestATHT:
-    def test_head_param_count(self, atht_params):
+    def test_head_param_count(self):
         """Trainable head only (~3 M); towers frozen (ATHTDemucs_v2.py:170-188)."""
-        n = sum(int(x.size) for x in jax.tree.leaves(atht_params["head"]))
+        head = atht.head_init(jax.random.PRNGKey(0))
+        n = sum(int(x.size) for x in jax.tree.leaves(head))
         assert 2_500_000 < n < 5_500_000
 
     def test_forward_shapes_variable_length(self, atht_params):
         """Reference tests 2/3/5 s inputs (main.py:277-290); output == input T."""
         ids = jnp.array([[0, 10, 2]])
         mask = jnp.ones_like(ids)
+        fwd = jax.jit(atht.forward)
         for seconds in (0.25, 0.5):
             t = int(44100 * seconds)
             wav = jnp.ones((1, 2, t), jnp.float32) * 0.1
-            out = atht.forward(atht_params, wav, ids, mask)
+            out = fwd(atht_params, wav, ids, mask)
             assert out.shape == (1, 2, t)
             assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -142,10 +149,11 @@ class TestATHT:
         (reference main.py:292-303)."""
         ids = jnp.array([[0, 10, 2], [0, 999, 2]])
         mask = jnp.ones_like(ids)
-        out = atht.forward(atht_params, small_wav, ids, mask)
+        fwd = jax.jit(atht.forward)
+        out = fwd(atht_params, small_wav, ids, mask)
         assert out.shape == small_wav.shape
         same_wav = jnp.stack([small_wav[0], small_wav[0]])
-        out2 = atht.forward(atht_params, same_wav, ids, mask)
+        out2 = fwd(atht_params, same_wav, ids, mask)
         assert float(jnp.abs(out2[0] - out2[1]).max()) > 1e-6
 
     def test_gradients_only_reach_head(self, atht_params, small_wav):
@@ -157,7 +165,7 @@ class TestATHT:
             out = atht.forward(params, small_wav, ids, mask)
             return jnp.mean(out ** 2)
 
-        grads = jax.grad(loss_fn)(atht_params)
+        grads = jax.jit(jax.grad(loss_fn))(atht_params)
         head_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["head"]))
         frozen_norm = sum(float(jnp.abs(g).sum())
                           for g in jax.tree.leaves(grads["htdemucs"]))
@@ -173,8 +181,9 @@ class TestATHT:
         from audio_to_sheet_music_tpu.nn import core as nn
 
         p = atht_params["head"]["text_attn"]
+        feat_dim = p["q_proj"]["weight"].shape[0]
         rng = np.random.default_rng(0)
-        q = jnp.asarray(rng.standard_normal((2, 7, 384)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((2, 7, feat_dim)), jnp.float32)
         text = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
 
         fast = atht._attend_single_token(p, q, text)

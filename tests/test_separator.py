@@ -11,7 +11,7 @@ from audio_to_sheet_music_tpu.models import atht
 
 @pytest.fixture(scope="module")
 def separator():
-    params = atht.init(jax.random.PRNGKey(0))
+    params = atht.init_tiny(jax.random.PRNGKey(0))
     return Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
                      compute_dtype=jnp.float32, wire_dtype=np.float32)
 

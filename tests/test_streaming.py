@@ -12,7 +12,7 @@ from audio_to_sheet_music_tpu.models import atht
 
 @pytest.fixture(scope="module")
 def separator():
-    params = atht.init(jax.random.PRNGKey(0))
+    params = atht.init_tiny(jax.random.PRNGKey(0))
     return Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
                      compute_dtype=jnp.float32, wire_dtype=np.float32)
 
@@ -20,7 +20,7 @@ def separator():
 class TestStreaming:
     def test_matches_offline(self, separator):
         rng = np.random.default_rng(0)
-        song = (0.1 * rng.standard_normal((2, 60000))).astype(np.float32)
+        song = (0.1 * rng.standard_normal((2, 36000))).astype(np.float32)
         offline = separator.separate_all(song, stems=("drums", "vocals"))
 
         stream = StreamingSeparator(separator, stems=("drums", "vocals"),

@@ -13,12 +13,12 @@ from audio_to_sheet_music_tpu.data import synthetic_tracks
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     data_dir = tmp_path_factory.mktemp("train_data")
-    synthetic_tracks(2, seconds=2.0, cache_dir=data_dir)
+    synthetic_tracks(2, seconds=1.0, cache_dir=data_dir)
     work = tmp_path_factory.mktemp("work")
     cfg = Config(
         data=DataConfig(train_dir=str(data_dir), test_dir=str(data_dir),
                         segment_seconds=0.25, augment=True,
-                        random_segments=True),
+                        random_segments=True, pct_test=0.3),
         model=ModelConfig(compute_dtype="float32"),
         training=TrainingConfig(
             batch_size=2, num_epochs=2,
@@ -33,10 +33,14 @@ def env(tmp_path_factory):
 
 class TestTrainer:
     def test_train_validate_checkpoint(self, env):
+        import jax
+
+        from audio_to_sheet_music_tpu.models import atht
         from audio_to_sheet_music_tpu.train.trainer import train
 
         cfg, work = env
-        result = train(cfg, max_steps_per_epoch=2)
+        result = train(cfg, params=atht.init_tiny(jax.random.PRNGKey(0)),
+                       max_steps_per_epoch=2)
         assert np.isfinite(result["final_loss"])
         assert np.isfinite(result["best_sdr"])
         assert (work / "ckpt" / "latest").exists()
@@ -46,12 +50,16 @@ class TestTrainer:
 
     def test_resume_from_latest(self, env):
         """Second train() call resumes from epoch 2 and is a no-op loop."""
+        import jax
+
+        from audio_to_sheet_music_tpu.models import atht
         from audio_to_sheet_music_tpu.train.trainer import train
 
         cfg, work = env
         cfg2 = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, num_epochs=2))
-        result = train(cfg2, max_steps_per_epoch=2)
+        result = train(cfg2, params=atht.init_tiny(jax.random.PRNGKey(0)),
+                       max_steps_per_epoch=2)
         assert result["final_epoch"] == 1
 
 
@@ -67,6 +75,6 @@ class TestClapSimilarity:
         ids = jnp.asarray([[0, 5, 2], [0, 9, 2]])
         mask = jnp.ones_like(ids)
         feats = jnp.asarray(rng.standard_normal((3, 1, 1001, 64)), jnp.float32)
-        la, lt = clap.similarity(params, ids, mask, feats)
+        la, lt = jax.jit(clap.similarity)(params, ids, mask, feats)
         assert la.shape == (3, 2) and lt.shape == (2, 3)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lt).T, atol=1e-4)
