@@ -107,13 +107,25 @@ def overlap_add_weighted(chunks: jnp.ndarray, grid: ChunkGrid,
         wn = wn * valid_mask[:, None].astype(chunks.dtype)
     weighted = chunks * wn[:, None, :]
 
-    starts = jnp.arange(n) * grid.hop
-    idx = (starts[:, None] + jnp.arange(seg)[None, :]).reshape(-1)  # (n*L,)
+    # Scatter-free OLA: pad each chunk to a multiple of hop, then the output
+    # is a sum of `ratio` shifted dense views (XLA lowers this to adds —
+    # TPU-friendly, unlike a (n*L)-index scatter).
+    hop = grid.hop
+    ratio = -(-seg // hop)
+    pad = ratio * hop - seg
     total = grid.padded_length
 
-    flat = weighted.transpose(1, 0, 2).reshape(c, n * seg)
-    acc = jnp.zeros((c, total), chunks.dtype).at[:, idx].add(flat)
-    wsum = jnp.zeros((total,), chunks.dtype).at[idx].add(wn.reshape(-1))
+    def ola(x):                                   # (..., n, seg) -> (..., T)
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        pieces = xp.reshape(*x.shape[:-1], ratio, hop)
+        out_chunks = n - 1 + ratio
+        acc = jnp.zeros((*x.shape[:-2], out_chunks, hop), x.dtype)
+        for i in range(ratio):
+            acc = acc.at[..., i : i + n, :].add(pieces[..., :, i, :])
+        return acc.reshape(*x.shape[:-2], out_chunks * hop)[..., :total]
+
+    acc = ola(weighted.transpose(1, 0, 2))        # (C, T)
+    wsum = ola(wn)                                # (T,)
     if not normalize:
         return acc, wsum
     out = acc / jnp.maximum(wsum, 1e-8)[None, :]
