@@ -40,12 +40,17 @@ class Separator:
         tokenizer=None,
         normalize_text: bool = False,
         sample_rate: int = SAMPLE_RATE,
-        wire_dtype=np.float16,
+        wire_dtype="pcm16",
     ):
-        """``wire_dtype``: dtype for the device->host stem transfer.  Default
-        float16 — its ~66 dB quantisation SNR sits far above any separation
-        SDR (clamped at 30 dB), and it halves the host-transfer bytes that
-        dominate serving latency.  Pass ``np.float32`` for exact eval."""
+        """``wire_dtype``: format for the device->host stem transfer, which
+        dominates serving latency over this environment's ~30 MB/s tunnel.
+
+        - ``"pcm16"`` (default): int16 samples + per-row f32 peak scale —
+          ~90 dB quantisation SNR (a peak-normalised 16-bit master), 4x
+          fewer bytes than f32.
+        - ``np.float16``: ~66 dB SNR, 2x fewer bytes.
+        - ``np.float32``: exact.
+        All sit far above any separation SDR (clamped at 30 dB)."""
         self.sample_rate = sample_rate
         self.segment = int(segment_seconds * sample_rate)
         self.overlap = int(overlap_seconds * sample_rate)
@@ -59,7 +64,9 @@ class Separator:
         else:
             self.bucket = 8
         self.params = params
-        self.wire_dtype = np.dtype(wire_dtype)
+        self.wire_pcm16 = wire_dtype == "pcm16"
+        self.wire_dtype = (np.dtype(np.int16) if self.wire_pcm16
+                           else np.dtype(wire_dtype))
         self._emb_cache: Dict[str, jnp.ndarray] = {}
         self._sweep_cache: Dict[Tuple, callable] = {}
 
@@ -110,23 +117,47 @@ class Separator:
             flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
             valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
             out = chunked.overlap_add_weighted(flat, grid, overlap, valid)
+            if self.wire_pcm16:
+                # one scale per STEM (max over its stereo pair) so the
+                # PCM preserves inter-channel balance
+                per_stem = jnp.abs(out).reshape(n_stems, -1).max(axis=-1)
+                scale = jnp.maximum(per_stem, 1e-8)               # (S,)
+                s_rows = jnp.repeat(scale, 2)[:, None]            # (S*2, 1)
+                q = jnp.clip(jnp.round(out / s_rows * 32767.0),
+                             -32768, 32767).astype(jnp.int16)
+                return q, scale
             return out.astype(jnp.dtype(self.wire_dtype))
 
         fn = jax.jit(sweep)
         self._sweep_cache[key] = fn
         return fn
 
-    def _run_sweep(self, mixture: np.ndarray, embs: jnp.ndarray,
-                   n_stems: int) -> np.ndarray:
-        mix = np.asarray(mixture, np.float32)
-        length = mix.shape[-1]
+    def _run_sweep_raw(self, mixture, embs: jnp.ndarray, n_stems: int):
+        """-> device result: (q int16 (S*2,T), scale) for pcm16 wire, else a
+        (S*2, T) array.  Host never touches full-size arrays (this host's
+        single core moves ~7 M elements/s — any full pass costs seconds)."""
+        length = int(np.shape(mixture)[-1])
         grid = chunked.plan_chunks(length, self.segment, self.overlap,
                                    self.bucket)
-        padded = np.pad(mix, ((0, 0), (0, grid.padded_length - length)))
+        dev = jnp.asarray(np.ascontiguousarray(mixture))
+        if dev.dtype != jnp.float32:
+            dev = dev.astype(jnp.float32)
+        padded = jnp.pad(dev, ((0, 0), (0, grid.padded_length - length)))
         sweep = self._get_sweep(grid, n_stems)
-        out = sweep(self.params, jnp.asarray(padded), embs,
-                    jnp.asarray(length, jnp.int32))
-        out = out[:, :length]                   # crop on device pre-transfer
+        out = sweep(self.params, padded, embs, jnp.asarray(length, jnp.int32))
+        if self.wire_pcm16:
+            q, scale = out
+            return q[:, :length], scale          # crop on device
+        return out[:, :length]
+
+    def _run_sweep(self, mixture: np.ndarray, embs: jnp.ndarray,
+                   n_stems: int) -> np.ndarray:
+        out = self._run_sweep_raw(mixture, embs, n_stems)
+        if self.wire_pcm16:
+            q, scale = out
+            q = np.asarray(q)
+            row_scale = np.repeat(np.asarray(scale), 2)[:, None]
+            return q.astype(np.float32) * (row_scale / 32767.0)
         return np.asarray(out).astype(np.float32)               # (S*2, T)
 
     # -- separation ---------------------------------------------------------
@@ -149,3 +180,19 @@ class Separator:
         flat = self._run_sweep(mixture, embs, len(stems))
         out = flat.reshape(len(stems), 2, -1)
         return {stem: out[i] for i, stem in enumerate(stems)}
+
+    def separate_all_pcm(self, mixture: np.ndarray,
+                         stems: Sequence[str] = STEM_NAMES):
+        """All stems as 16-bit PCM: ``(pcm int16 (S, 2, T), scales (S,))``.
+
+        The zero-copy serving path: quantisation happens on device with one
+        peak scale per stem (``sample_value = pcm * scale / 32767``); the
+        host only receives PCM bytes — what a WAV writer or playback API
+        consumes directly (``utils.audio_io.write_wav_pcm``).  Requires
+        ``wire_dtype='pcm16'`` (the default).
+        """
+        assert self.wire_pcm16, "separate_all_pcm requires wire_dtype='pcm16'"
+        embs = jnp.stack([self.text_embedding(s) for s in stems])
+        q, scale = self._run_sweep_raw(mixture, embs, len(stems))
+        pcm = np.asarray(q).reshape(len(stems), 2, -1)
+        return pcm, np.asarray(scale)

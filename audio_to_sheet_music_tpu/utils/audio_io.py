@@ -36,6 +36,20 @@ def write_wav(path: str | Path, wav: np.ndarray, sr: int = 44100) -> None:
     wavfile.write(path, sr, (data.T * 32767.0).astype(np.int16))
 
 
+def write_wav_pcm(path: str | Path, pcm: np.ndarray, scale: float,
+                  sr: int = 44100) -> None:
+    """Write a ``separate_all_pcm`` stem: int16 ``(2, T)`` + its peak scale.
+
+    The PCM encodes ``sample = pcm * scale / 32767``, i.e. a peak-normalised
+    16-bit master; the bytes are written verbatim — **zero** host-side sample
+    passes (this host's single core makes per-sample conversion the dominant
+    serving cost).
+    """
+    from scipy.io import wavfile
+
+    wavfile.write(path, sr, np.ascontiguousarray(pcm.T))
+
+
 def resample(wav: np.ndarray, sr: int, target_sr: int = 44100) -> np.ndarray:
     """Polyphase resample (C, T) waveforms."""
     if sr == target_sr:

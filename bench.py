@@ -4,7 +4,9 @@ Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
 Protocol (mirrors the reference eval path, `benchmark.py:155-204`): a 60 s
 stereo mixture is separated into the 4 canonical stems with free-text
-prompts, 6 s chunks, 1.5 s linear-crossfade overlap-add, bf16 compute.
+prompts, 6 s chunks, 1.5 s linear-crossfade overlap-add, bf16 compute,
+producing 16-bit PCM stems (``separate_all_pcm`` — the production serving
+format; device-side quantisation, zero host-side sample passes).
 Metric: audio-seconds separated per wall-second per chip, counting the song
 once per stem (a 4-stem pass over a 60 s song = 240 audio-sec of work).
 
@@ -51,7 +53,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for stem in STEM_NAMES:
         sep.text_embedding(stem)
-    _ = sep.separate_all(song)
+    _ = sep.separate_all_pcm(song)
     print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -60,8 +62,8 @@ def main() -> None:
     times = []
     for _ in range(3):
         start = time.perf_counter()
-        outs = sep.separate_all(song)
-        jax.block_until_ready(list(outs.values()))
+        pcm, scales = sep.separate_all_pcm(song)
+        assert pcm.dtype == np.int16 and pcm.shape[0] == len(STEM_NAMES)
         times.append(time.perf_counter() - start)
     print(f"runs: {[round(t, 2) for t in times]}s", file=sys.stderr)
     elapsed = min(times)

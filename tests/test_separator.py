@@ -39,3 +39,33 @@ class TestSeparator:
         song = rng.standard_normal((2, 22050)).astype(np.float32) * 0.1
         outs = separator.separate_all(song, stems=("drums", "bass"))
         assert np.abs(outs["drums"] - outs["bass"]).max() > 1e-6
+
+
+class TestWireFormats:
+    def test_pcm16_wire_matches_f32(self):
+        params = atht.init_tiny(jax.random.PRNGKey(1))
+        kw = dict(segment_seconds=0.25, overlap_seconds=0.05,
+                  compute_dtype=jnp.float32)
+        exact = Separator(params, wire_dtype=np.float32, **kw)
+        pcm = Separator(params, wire_dtype="pcm16", **kw)
+        rng = np.random.default_rng(5)
+        song = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        a = exact.separate(song, "drums")
+        b = pcm.separate(song, "drums")
+        peak = np.abs(a).max()
+        # 16-bit quantisation: error bounded by peak / 32767
+        np.testing.assert_allclose(b, a, atol=1.5 * peak / 32767)
+
+    def test_pcm16_pipeline(self):
+        params = atht.init_tiny(jax.random.PRNGKey(2))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        rng = np.random.default_rng(6)
+        song = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        pcm, scales = sep.separate_all_pcm(song, stems=("drums", "vocals"))
+        assert pcm.dtype == np.int16 and pcm.shape == (2, 2, 22050)
+        assert scales.shape == (2,)
+        dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
+        ref = sep.separate_all(song, stems=("drums", "vocals"))
+        np.testing.assert_allclose(dq[0], ref["drums"], atol=1e-6)
+        np.testing.assert_allclose(dq[1], ref["vocals"], atol=1e-6)
