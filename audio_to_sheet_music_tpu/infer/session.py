@@ -140,7 +140,10 @@ class Separator:
         grid = chunked.plan_chunks(length, self.segment, self.overlap,
                                    self.bucket)
         dev = jnp.asarray(np.ascontiguousarray(mixture))
-        if dev.dtype != jnp.float32:
+        if dev.dtype == jnp.int16:
+            # 16-bit PCM input (what WAV sources deliver): convert on device
+            dev = dev.astype(jnp.float32) * (1.0 / 32768.0)
+        elif dev.dtype != jnp.float32:
             dev = dev.astype(jnp.float32)
         padded = jnp.pad(dev, ((0, 0), (0, grid.padded_length - length)))
         sweep = self._get_sweep(grid, n_stems)

@@ -111,24 +111,69 @@ def conv_transpose1d_init(key, in_ch, out_ch, kernel, bias=True) -> Params:
     return p
 
 
+def _subpixel_kernel_1d(w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """(I, O, K) transpose-conv weight -> (O*stride, I, K//stride) phase bank.
+
+    Sub-pixel identity: ``out[j] = sum_d x[a-d] * w[r + stride*d]`` with
+    ``a=(j+p)//s, r=(j+p)%s`` — each output phase r is a small stride-1
+    correlation.  Tap d reads ``x[a - (taps-1) + d']`` so the conv kernel
+    position d' maps to weight index ``r + stride*(taps-1-d')``.
+    """
+    i_ch, o_ch, k = w.shape
+    taps = k // stride
+    # bank[(o, r), i, d'] = w[i, o, r + stride*(taps-1-d')]
+    idx = jnp.arange(stride)[:, None] + stride * (taps - 1 - jnp.arange(taps))[None, :]
+    bank = w[:, :, idx]                         # (I, O, r, d')
+    return bank.transpose(1, 2, 0, 3).reshape(o_ch * stride, i_ch, taps)
+
+
+def _conv_transpose1d_subpixel(w: jnp.ndarray, x: jnp.ndarray, stride: int,
+                               padding: int) -> jnp.ndarray:
+    """Exact ConvTranspose1d via phase decomposition (requires K % s == 0).
+
+    Avoids the input-dilated conv (3/4 of whose MACs multiply inserted
+    zeros): one stride-1 conv with ``K/s``-tap filters and ``s``x output
+    channels, then a time-phase interleave.
+    """
+    i_ch, o_ch, k = w.shape
+    taps = k // stride
+    t = x.shape[-1]
+    bank = _subpixel_kernel_1d(w.astype(x.dtype), stride)
+    y = jax.lax.conv_general_dilated(
+        x, bank, window_strides=(1,),
+        padding=[(taps - 1, taps - 1)],          # a ranges over [0, T+taps-2]
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )                                            # (B, O*s, A)
+    b = x.shape[0]
+    a_len = y.shape[-1]
+    z = y.reshape(b, o_ch, stride, a_len).transpose(0, 1, 3, 2)
+    z = z.reshape(b, o_ch, stride * a_len)       # z[s*a + r]
+    out_len = (t - 1) * stride - 2 * padding + k
+    return z[..., padding : padding + out_len]
+
+
 def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int = 1,
                      padding: int = 0) -> jnp.ndarray:
     """torch ConvTranspose1d semantics: out = (T-1)*s - 2p + k.
 
-    Implemented as an input-dilated convolution with the flipped kernel —
-    the standard transpose-conv-as-conv identity, which XLA lowers to an MXU
-    matmul per output tile.
+    Uses the exact sub-pixel (phase) decomposition when ``K % stride == 0``
+    (all decoders here: k=8, s=4) — ~4x fewer MACs than the input-dilated
+    form and measurably faster on the MXU; falls back to input dilation
+    otherwise.
     """
     w = p["weight"].astype(x.dtype)          # (I, O, K)
     k = w.shape[-1]
-    w = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (O, I, K)
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=(1,),
-        padding=[(k - 1 - padding, k - 1 - padding)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
+    if stride > 1 and k % stride == 0:
+        y = _conv_transpose1d_subpixel(w, x, stride, padding)
+    else:
+        wf = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (O, I, K)
+        y = jax.lax.conv_general_dilated(
+            x, wf,
+            window_strides=(1,),
+            padding=[(k - 1 - padding, k - 1 - padding)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)[None, :, None]
     return y
@@ -146,18 +191,38 @@ def conv_transpose2d_init(key, in_ch, out_ch, kernel: Sequence[int], bias=True) 
 
 def conv_transpose2d(p: Params, x: jnp.ndarray, stride=(1, 1),
                      padding=(0, 0)) -> jnp.ndarray:
-    """torch ConvTranspose2d semantics (per-dim): out = (L-1)*s - 2p + k."""
+    """torch ConvTranspose2d semantics (per-dim): out = (L-1)*s - 2p + k.
+
+    Fast path for the HTDemucs-style (K, 1) kernels with stride (s, 1) and
+    K % s == 0: sub-pixel phase decomposition along H (see
+    ``_conv_transpose1d_subpixel``); input-dilated conv otherwise.
+    """
     w = p["weight"].astype(x.dtype)          # (I, O, KH, KW)
-    kh, kw_ = w.shape[-2:]
-    w = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # (O, I, KH, KW)
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=(1, 1),
-        padding=[(kh - 1 - padding[0], kh - 1 - padding[0]),
-                 (kw_ - 1 - padding[1], kw_ - 1 - padding[1])],
-        lhs_dilation=tuple(stride),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    i_ch, o_ch, kh, kw_ = w.shape
+    sh, sw = stride
+    if sh > 1 and sw == 1 and kw_ == 1 and kh % sh == 0:
+        taps = kh // sh
+        bank = _subpixel_kernel_1d(w[..., 0], sh)[..., None]  # (O*s, I, taps, 1)
+        y = jax.lax.conv_general_dilated(
+            x, bank, window_strides=(1, 1),
+            padding=[(taps - 1, taps - 1), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )                                     # (B, O*s, A, W)
+        b, _, a_len, wdt = y.shape
+        z = y.reshape(b, o_ch, sh, a_len, wdt).transpose(0, 1, 3, 2, 4)
+        z = z.reshape(b, o_ch, sh * a_len, wdt)
+        out_h = (x.shape[2] - 1) * sh - 2 * padding[0] + kh
+        y = z[:, :, padding[0] : padding[0] + out_h, :]
+    else:
+        wf = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # (O, I, KH, KW)
+        y = jax.lax.conv_general_dilated(
+            x, wf,
+            window_strides=(1, 1),
+            padding=[(kh - 1 - padding[0], kh - 1 - padding[0]),
+                     (kw_ - 1 - padding[1], kw_ - 1 - padding[1])],
+            lhs_dilation=tuple(stride),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)[None, :, None, None]
     return y

@@ -13,6 +13,23 @@ from pathlib import Path
 import numpy as np
 
 
+def read_wav_pcm(path: str | Path) -> tuple[int, np.ndarray]:
+    """-> (sample_rate, int16 (C, T)) with NO host-side conversion.
+
+    16-bit WAVs (the common case) pass straight through; ``Separator``
+    accepts int16 mixtures and converts on device.  Other encodings fall
+    back to ``read_wav`` + host quantisation.
+    """
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        wav = data.T if data.ndim == 2 else data[None, :]
+        return int(sr), np.ascontiguousarray(wav)
+    sr, f32 = read_wav(path)
+    return sr, (np.clip(f32, -1, 1) * 32767).astype(np.int16)
+
+
 def read_wav(path: str | Path) -> tuple[int, np.ndarray]:
     """-> (sample_rate, float32 (C, T))."""
     from scipy.io import wavfile

@@ -45,7 +45,10 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     t = SONG_SECONDS * SAMPLE_RATE
-    song = (0.1 * rng.standard_normal((2, t))).astype(np.float32)
+    # 16-bit PCM mixture, as a WAV source delivers it; conversion happens
+    # on device (the host core is far slower than the TPU).
+    song = np.clip(0.1 * rng.standard_normal((2, t)) * 32767, -32768,
+                   32767).astype(np.int16)
 
     # Warmup: compile text encode + the multi-stem chunk forward for this grid.
     import sys

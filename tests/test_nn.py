@@ -166,3 +166,55 @@ def test_embedding(rng):
     ref = m(torch.from_numpy(idx)).detach().numpy()
     ours = np.asarray(jnn.embedding(to_j(m.state_dict()), jnp.asarray(idx)))
     np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+class TestSubpixelConvTranspose:
+    """Sub-pixel phase path == input-dilated path == torch (exact identity)."""
+
+    def test_1d_matches_torch(self, rng):
+        import torch
+
+        from audio_to_sheet_music_tpu.nn import core as nn_core
+
+        x = rng.standard_normal((2, 6, 37)).astype(np.float32)
+        w = rng.standard_normal((6, 5, 8)).astype(np.float32)
+        b = rng.standard_normal(5).astype(np.float32)
+        p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+        ours = np.asarray(nn_core.conv_transpose1d(p, jnp.asarray(x),
+                                                   stride=4, padding=2))
+        ref = torch.nn.functional.conv_transpose1d(
+            torch.tensor(x), torch.tensor(w), torch.tensor(b),
+            stride=4, padding=2).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_2d_matches_torch(self, rng):
+        import torch
+
+        from audio_to_sheet_music_tpu.nn import core as nn_core
+
+        x = rng.standard_normal((2, 6, 19, 11)).astype(np.float32)
+        w = rng.standard_normal((6, 5, 8, 1)).astype(np.float32)
+        p = {"weight": jnp.asarray(w)}
+        ours = np.asarray(nn_core.conv_transpose2d(p, jnp.asarray(x),
+                                                   stride=(4, 1),
+                                                   padding=(2, 0)))
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.tensor(x), torch.tensor(w),
+            stride=(4, 1), padding=(2, 0)).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_1d_taps1_and_fallback(self, rng):
+        import torch
+
+        from audio_to_sheet_music_tpu.nn import core as nn_core
+
+        for k, s, pad in [(4, 4, 1), (5, 4, 2), (8, 4, 0)]:
+            x = rng.standard_normal((1, 3, 23)).astype(np.float32)
+            w = rng.standard_normal((3, 2, k)).astype(np.float32)
+            p = {"weight": jnp.asarray(w)}
+            ours = np.asarray(nn_core.conv_transpose1d(p, jnp.asarray(x),
+                                                       stride=s, padding=pad))
+            ref = torch.nn.functional.conv_transpose1d(
+                torch.tensor(x), torch.tensor(w), stride=s,
+                padding=pad).numpy()
+            np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"k={k}")

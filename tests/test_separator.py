@@ -69,3 +69,14 @@ class TestWireFormats:
         ref = sep.separate_all(song, stems=("drums", "vocals"))
         np.testing.assert_allclose(dq[0], ref["drums"], atol=1e-6)
         np.testing.assert_allclose(dq[1], ref["vocals"], atol=1e-6)
+
+    def test_int16_input_matches_f32(self):
+        params = atht.init_tiny(jax.random.PRNGKey(3))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32, wire_dtype=np.float32)
+        rng = np.random.default_rng(7)
+        f32 = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        i16 = np.clip(f32 * 32768, -32768, 32767).astype(np.int16)
+        a = sep.separate(i16.astype(np.float32) / 32768.0, "bass")
+        b = sep.separate(i16, "bass")
+        np.testing.assert_allclose(b, a, atol=1e-5)
