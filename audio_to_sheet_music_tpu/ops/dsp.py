@@ -59,6 +59,26 @@ def use_matmul_fft() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _use_pallas_stft(n_fft: int, hop: int) -> bool:
+    """Fused Pallas STFT kernel (ops.pallas_stft), opt-in via
+    ``ATSM_PALLAS_STFT=1``.
+
+    On the current v5e it matches the XLA matmul-DFT path bit-for-bit at
+    HIGHEST precision and runs at the same speed (both are dispatch-floor
+    bound at sweep sizes), so XLA stays the default; the kernel removes the
+    framed-signal HBM materialisation and wins when frame counts grow.
+    """
+    import os
+
+    if os.environ.get("ATSM_PALLAS_STFT") != "1":
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    from . import pallas_stft
+
+    return pallas_stft.supports(n_fft, hop)
+
+
 def _fft_factors(n: int) -> tuple[int, int]:
     n1 = 1 << (int(math.log2(n)) // 2)
     while n % n1:
@@ -222,12 +242,20 @@ def stft(x: jnp.ndarray, n_fft: int = 4096, hop: int = 1024,
     length = x.shape[-1]
     n_frames = length // hop + 1
     xp = pad_reflect_safe(x.astype(jnp.float32), n_fft // 2, n_fft // 2)
-    frames = frame(xp, n_fft, hop, n_frames)
-    win = hann_window(n_fft)
-    z = _rfft(frames * win, n_fft)
+    if _use_pallas_stft(n_fft, hop):
+        from . import pallas_stft
+
+        lead = xp.shape[:-1]
+        flat = xp.reshape(-1, xp.shape[-1])
+        z = pallas_stft.stft_pallas(flat, n_fft, hop, n_frames)
+        z = z.reshape(*lead, *z.shape[1:])
+    else:
+        frames = frame(xp, n_fft, hop, n_frames)
+        win = hann_window(n_fft)
+        z = jnp.moveaxis(_rfft(frames * win, n_fft), -1, -2)
     if normalized:
         z = z * (1.0 / math.sqrt(n_fft))
-    return jnp.moveaxis(z, -1, -2)  # (..., F, n_frames)
+    return z  # (..., F, n_frames)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
