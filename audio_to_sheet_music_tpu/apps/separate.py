@@ -80,20 +80,28 @@ def main() -> None:
     audio_io.write_wav(out_dir / "mixture.wav", mixture)
 
     report = {}
-    outs = sep.separate_all(mixture, stems=args.stems)
-    for stem, est in outs.items():
-        audio_io.write_wav(out_dir / f"extracted_{stem}.wav", est)
-        if gt_stems and stem in gt_stems:
-            t = min(est.shape[-1], gt_stems[stem].shape[-1])
-            sdr = compute_sdr(est[:, :t], gt_stems[stem][:, :t])
-            report[stem] = sdr
-            print(f"{stem:>10}: SDR {sdr:6.2f} dB")
-        if args.plots:
-            from ..utils import plotting
+    if gt_stems is None and not args.plots:
+        # Fast serving path: PCM bytes straight from the device to the WAVs.
+        pcm, scales = sep.separate_all_pcm(mixture, stems=args.stems)
+        for i, stem in enumerate(args.stems):
+            audio_io.write_wav_pcm(out_dir / f"extracted_{stem}.wav",
+                                   pcm[i], float(scales[i]))
+    else:
+        outs = sep.separate_all(mixture, stems=args.stems)
+        for stem, est in outs.items():
+            audio_io.write_wav(out_dir / f"extracted_{stem}.wav", est)
+            if gt_stems and stem in gt_stems:
+                t = min(est.shape[-1], gt_stems[stem].shape[-1])
+                sdr = compute_sdr(est[:, :t], gt_stems[stem][:, :t])
+                report[stem] = sdr
+                print(f"{stem:>10}: SDR {sdr:6.2f} dB")
+            if args.plots:
+                from ..utils import plotting
 
-            tgt = gt_stems[stem] if gt_stems and stem in gt_stems else est
-            fig = plotting.plot_separation_comparison(mixture, tgt, est, stem)
-            plotting.save_figure(fig, out_dir / f"spectrogram_{stem}.png")
+                tgt = gt_stems[stem] if gt_stems and stem in gt_stems else est
+                fig = plotting.plot_separation_comparison(mixture, tgt, est,
+                                                          stem)
+                plotting.save_figure(fig, out_dir / f"spectrogram_{stem}.png")
 
     (out_dir / "sdr_report.json").write_text(json.dumps(report, indent=2))
     print(f"outputs written to {out_dir}")

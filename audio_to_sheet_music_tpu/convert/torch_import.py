@@ -188,28 +188,39 @@ def import_clap_audio_state(state: Mapping[str, np.ndarray],
     return fill_from_torch(template, remapped, strict=strict)
 
 
-def import_atht_checkpoint(path: str, strict: bool = True):
+def export_torch_names(params: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of ``fill_from_torch``: pytree -> flat torch-named dict.
+
+    Useful for round-trip tests and for exporting trained heads to
+    torch-consumable checkpoints.
+    """
+    return {prefix + _translate(p): np.asarray(leaf)
+            for p, leaf in _tree_paths(params)}
+
+
+def import_atht_checkpoint(path: str, strict: bool = True, template=None):
     """Reference AudioTextHTDemucs ``.pt`` checkpoint -> full model pytree.
 
     Returns ``{"htdemucs": ..., "clap": ..., "head": ...}`` matching
-    ``models.atht.init``.
+    ``models.atht.init``.  ``template`` overrides the destination pytree
+    (used by tests with small family members).
     """
     import jax
 
     from ..models import atht
 
     state = load_torch_state_dict(path)
-    params = atht.init(jax.random.PRNGKey(0))
+    params = template if template is not None else atht.init(jax.random.PRNGKey(0))
     params["htdemucs"] = fill_from_torch(
         params["htdemucs"],
         {k[len("htdemucs."):]: v for k, v in state.items()
          if k.startswith("htdemucs.")},
         strict=strict)
-    clap_state = {k[len("clap."):]: v for k, v in state.items()
+    clap_state = {_clap_key(k[len("clap."):]): v for k, v in state.items()
                   if k.startswith("clap.")}
     if clap_state:
-        params["clap"] = import_clap_state(
-            {_clap_key(k): v for k, v in clap_state.items()}, strict=False)
+        params["clap"] = fill_from_torch(params["clap"], clap_state,
+                                         strict=False)
     head_state = {k: v for k, v in state.items()
                   if not k.startswith(("htdemucs.", "clap."))}
     params["head"] = fill_from_torch(params["head"], head_state, strict=strict)

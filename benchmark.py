@@ -27,6 +27,10 @@ def main() -> None:
                     help=".pt (converted) or params .npz for 'ours'")
     ap.add_argument("--synthetic", action="store_true",
                     help="run on the synthetic fixture instead of a dataset")
+    ap.add_argument("--plot-spectrograms", action="store_true",
+                    help="write per-track all-stems spectrogram PNGs")
+    ap.add_argument("--use-wandb", action="store_true",
+                    help="log aggregates to Weights & Biases")
     args = ap.parse_args()
 
     import jax
@@ -74,16 +78,46 @@ def main() -> None:
         except RuntimeError as e:   # graceful skip (reference :977-980)
             print(f"skipping {name}: {e}")
 
+    out_dir = Path(args.output_dir)
     all_results = {}
     for name, model in registry.items():
         print(f"evaluating {name} on {len(tracks)} tracks")
-        all_results[name] = evaluate_model(model.separate_all, tracks, name,
+        separate_all = model.separate_all
+        if args.plot_spectrograms:
+            from audio_to_sheet_music_tpu.utils import plotting
+
+            def separate_all(mixture, _inner=model.separate_all, _name=name):
+                stems = _inner(mixture)
+                fig = plotting.plot_all_stems(mixture, dict(stems))
+                spec_dir = out_dir / "spectrograms" / _name.replace(" ", "_")
+                spec_dir.mkdir(parents=True, exist_ok=True)
+                n = len(list(spec_dir.glob("*.png")))
+                plotting.save_figure(fig, spec_dir / f"track_{n:03d}.png")
+                return stems
+
+        all_results[name] = evaluate_model(separate_all, tracks, name,
                                            max_tracks=args.max_tracks)
 
     print(format_results_table(all_results))
-    out = Path(args.output_dir) / "evaluation_results.json"
+    out = out_dir / "evaluation_results.json"
     save_results(all_results, out)
     print(f"\nresults written to {out}")
+
+    if args.use_wandb:
+        try:
+            import wandb
+
+            from audio_to_sheet_music_tpu.eval import aggregate_results
+
+            run = wandb.init(project="audio-text-htdemucs-benchmark")
+            for name, results in all_results.items():
+                agg = aggregate_results(results)
+                run.log({f"{name}/sdr_{k}": v for k, v in agg["sdr"].items()})
+                run.log({f"{name}/sisdr_{k}": v
+                         for k, v in agg["sisdr"].items()})
+            run.finish()
+        except Exception as e:  # noqa: BLE001
+            print(f"wandb logging skipped: {e}")
 
 
 if __name__ == "__main__":

@@ -243,3 +243,37 @@ class TestConverter:
         ]
         for k in expected:
             assert k in keys, k
+
+    def test_atht_checkpoint_import_end_to_end(self, tmp_path):
+        """Synthesize a reference-style .pt training checkpoint (torch) and
+        import it — exercises container unwrap, module. strip, prefix split
+        and every name translation at once."""
+        import torch
+
+        from audio_to_sheet_music_tpu.convert.torch_import import (
+            export_torch_names, import_atht_checkpoint)
+
+        src = atht.init_tiny(jax.random.PRNGKey(7))
+        state = {}
+        state.update(export_torch_names(src["htdemucs"], "htdemucs."))
+        # reference checkpoints hold the HF clap module under "clap."
+        clap_names = {
+            "clap." + k.replace("embeddings.", "text_model.embeddings.")
+                       .replace("layer.", "text_model.encoder.layer.")
+                       .replace("pooler.", "text_model.pooler."): v
+            for k, v in export_torch_names(src["clap"]).items()}
+        state.update(clap_names)
+        state.update({"module." + k: v       # DataParallel prefix
+                      for k, v in export_torch_names(src["head"]).items()})
+        ckpt = {"epoch": 3,
+                "model_state_dict": {k: torch.tensor(v)
+                                     for k, v in state.items()}}
+        torch.save(ckpt, tmp_path / "best_model.pt")
+
+        template = atht.init_tiny(jax.random.PRNGKey(8))
+        out = import_atht_checkpoint(str(tmp_path / "best_model.pt"),
+                                     template=template)
+        for section in ("htdemucs", "clap", "head"):
+            for a, b in zip(jax.tree.leaves(src[section]),
+                            jax.tree.leaves(out[section])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
