@@ -17,7 +17,7 @@ import ctypes
 import subprocess
 import threading
 from pathlib import Path
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

@@ -25,7 +25,6 @@ import dataclasses
 import math
 from typing import Callable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,9 +92,10 @@ def overlap_add_weighted(chunks: jnp.ndarray, grid: ChunkGrid,
                          normalize: bool = True):
     """``(n_chunks, C, segment)`` -> ``(C, length)`` weighted overlap-add.
 
-    Accumulates ``sum(chunk * w)`` and ``sum(w)`` with a scatter-add over the
-    chunk grid and divides by the clamped weight sum (reference
-    `app.py:160-177`).  ``valid_mask (n,)`` zeroes padded bucket chunks.
+    Accumulates ``sum(chunk * w)`` and ``sum(w)`` over the chunk grid
+    (scatter-free, see below) and divides by the clamped weight sum
+    (reference `app.py:160-177`).  ``valid_mask (n,)`` zeroes padded bucket
+    chunks.
     With ``normalize=False`` returns the raw ``(acc (C, padded), wsum
     (padded,))`` pair instead — the streaming API carries these across block
     boundaries before normalising.

@@ -107,15 +107,20 @@ def train(cfg: Config, params=None, mesh=None,
     seg = cfg.data.segment_samples
 
     def make_train_loader():
-        # C++ loader when every track is a decode-once npy cache and no
-        # percentage subset is requested; Python fallback otherwise.
+        # torch-DataLoader-style semantics: num_workers >= 1 uses the C++
+        # segment loader with that many worker threads (requires every track
+        # to be a decode-once npy cache and no percentage subset);
+        # num_workers == 0 stays in-process Python (reference config.yaml:23
+        # default — and the right choice on single-core hosts, where numpy
+        # slicing already saturates the TPU step).
         from ..data.native_loader import NativeBatchLoader, native_available
 
-        if (cfg.data.pct_train >= 1.0 and native_available()
+        if (cfg.training.num_workers >= 1 and cfg.data.pct_train >= 1.0
+                and native_available()
                 and all(t.kind == "npy" for t in train_tracks)):
             return NativeBatchLoader(
                 [t.path for t in train_tracks], seg, cfg.training.batch_size,
-                tokenizer, n_threads=max(2, cfg.training.num_workers or 4),
+                tokenizer, n_threads=cfg.training.num_workers,
                 augment=cfg.data.augment,
                 random_segments=cfg.data.random_segments)
         ds = _subset(StemSegmentDataset(train_tracks, seg,

@@ -8,7 +8,7 @@ matplotlib (Agg) only renders.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping
 
 import numpy as np
 
