@@ -45,9 +45,10 @@ class Separator:
         """``wire_dtype``: format for the device->host stem transfer, which
         dominates serving latency over this environment's ~30 MB/s tunnel.
 
-        - ``"pcm16"`` (default): int16 samples + per-row f32 peak scale —
-          ~90 dB quantisation SNR (a peak-normalised 16-bit master), 4x
-          fewer bytes than f32.
+        - ``"pcm16"`` (default): int16 samples + one f32 peak scale per stem
+          — ~90 dB quantisation SNR (a peak-normalised 16-bit master), half
+          the bytes of f32 and zero host-side conversion on the serving path
+          (``separate_all_pcm``).
         - ``np.float16``: ~66 dB SNR, 2x fewer bytes.
         - ``np.float32``: exact.
         All sit far above any separation SDR (clamped at 30 dB)."""
