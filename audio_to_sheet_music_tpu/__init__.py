@@ -24,4 +24,33 @@ Subpackages
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every entry point.
+
+    Sweep/train-step compiles take minutes on the TPU compile service; the
+    cache makes every rerun warm.  Override the location with
+    ``ATSM_COMPILE_CACHE``; disable with ``ATSM_COMPILE_CACHE=0``.
+    """
+    import os
+    import pathlib
+
+    loc = os.environ.get("ATSM_COMPILE_CACHE")
+    if loc == "0":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return  # caller already configured one
+        path = pathlib.Path(loc) if loc else (
+            pathlib.Path(__file__).resolve().parent.parent / ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 — cache is an optimisation only
+        pass
+
+
+_enable_compile_cache()
+
 from . import config, convert, data, infer, models, nn, ops, parallel, text, train  # noqa: F401,E402
