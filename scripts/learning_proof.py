@@ -1,0 +1,60 @@
+"""End-to-end learning proof: train the full-size model on synthetic stems,
+then measure eval SDR before/after through the benchmark harness.
+
+    python scripts/learning_proof.py
+
+Recorded run on the real TPU v5e (2026-08-16, random-init towers, held-out
+test track): eval SDR -2.88 -> +6.58 dB (+9.45 dB) after 240 train steps at
+~0.64 steps/s wall (incl. host data loading on the 1-core host).
+"""
+import sys, time
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import jax, jax.numpy as jnp, numpy as np
+from audio_to_sheet_music_tpu.data import synthetic_tracks, StemSegmentDataset, BatchLoader
+from audio_to_sheet_music_tpu.eval import evaluate_model, aggregate_results
+from audio_to_sheet_music_tpu.eval.models import OursModel
+from audio_to_sheet_music_tpu.models import atht
+from audio_to_sheet_music_tpu.text.tokenizer import HashTokenizer
+from audio_to_sheet_music_tpu.train import TrainState, make_optimizer, make_train_step
+
+tracks = synthetic_tracks(4, seconds=24.0, cache_dir='/tmp/atsm_learn_proof/train')
+test_tracks = synthetic_tracks(1, seconds=12.0, cache_dir='/tmp/atsm_learn_proof/test', seed=99)
+
+params = atht.init(jax.random.PRNGKey(0))
+
+def eval_sdr(p, label):
+    model = OursModel(p, segment_seconds=6.0, overlap_seconds=1.5)
+    res = evaluate_model(model.separate_all, test_tracks, label, verbose=False)
+    agg = aggregate_results(res)
+    print(f"{label}: SDR avg {agg['sdr']['average']:.2f} "
+          f"(drums {agg['sdr']['drums']:.2f} bass {agg['sdr']['bass']:.2f} "
+          f"other {agg['sdr']['other']:.2f} vocals {agg['sdr']['vocals']:.2f})")
+    return agg['sdr']['average']
+
+before = eval_sdr(params, 'random-init')
+
+ds = StemSegmentDataset(tracks, 264600, random_segments=True, augment=True)
+loader = BatchLoader(ds, 8, HashTokenizer())
+opt = make_optimizer(lr=3e-4, total_steps=300)
+state = TrainState.create(params['head'], opt)
+frozen = {'htdemucs': params['htdemucs'], 'clap': params['clap']}
+step = make_train_step(opt)
+
+t0 = time.time(); n = 0
+for epoch in range(30):
+    for raw in loader:
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != 'stem_index'}
+        state, metrics = step(state, frozen, batch)
+        n += 1
+        if n % 50 == 0:
+            print(f"step {n}: loss {float(metrics['loss/total']):.3f} "
+                  f"({n/(time.time()-t0):.2f} steps/s)")
+        if n >= 300:
+            break
+    if n >= 300:
+        break
+
+trained = dict(params); trained['head'] = state.head
+after = eval_sdr(trained, f'after-{n}-steps')
+print(f"SDR improvement: {after - before:+.2f} dB")
