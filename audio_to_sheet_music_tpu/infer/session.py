@@ -194,9 +194,66 @@ class Separator:
         host only receives PCM bytes — what a WAV writer or playback API
         consumes directly (``utils.audio_io.write_wav_pcm``).  Requires
         ``wire_dtype='pcm16'`` (the default).
+
+        Pipelined: the frozen encoder runs once, then each stem is a
+        separate device program whose PCM transfer overlaps the next stem's
+        head compute.
         """
         assert self.wire_pcm16, "separate_all_pcm requires wire_dtype='pcm16'"
-        embs = jnp.stack([self.text_embedding(s) for s in stems])
-        q, scale = self._run_sweep_raw(mixture, embs, len(stems))
-        pcm = np.asarray(q).reshape(len(stems), 2, -1)
-        return pcm, np.asarray(scale)
+        length = int(np.shape(mixture)[-1])
+        grid = chunked.plan_chunks(length, self.segment, self.overlap,
+                                   self.bucket)
+        encode_fn, head_fn = self._get_pipelined(grid)
+        dev = jnp.asarray(np.ascontiguousarray(mixture))
+        if dev.dtype == jnp.int16:
+            dev = dev.astype(jnp.float32) * (1.0 / 32768.0)
+        elif dev.dtype != jnp.float32:
+            dev = dev.astype(jnp.float32)
+        padded = jnp.pad(dev, ((0, 0), (0, grid.padded_length - length)))
+        enc = encode_fn(self.params, padded)
+        length_arr = jnp.asarray(length, jnp.int32)
+        # dispatch every stem (async), then fetch in order: stem i's D2H
+        # overlaps stem i+1's compute
+        outs = [head_fn(self.params, enc, self.text_embedding(s), length_arr)
+                for s in stems]
+        pcm = np.stack([np.asarray(q[:, :length]) for q, _ in outs])
+        scales = np.array([float(sc) for _, sc in outs], np.float32)
+        return pcm, scales
+
+    def _get_pipelined(self, grid: chunked.ChunkGrid):
+        """(encode_fn, per-stem head_fn) pair for the pipelined PCM path."""
+        key = ("pipelined", grid.n_chunks, grid.segment, grid.hop)
+        if key in self._sweep_cache:
+            return self._sweep_cache[key]
+        dtype = self.compute_dtype
+        overlap = self.overlap
+        mesh = self.mesh
+
+        plan = atht.static_plan(grid.segment)
+
+        def encode_fn(params, song_padded):
+            chunks = chunked.frame_song(song_padded, grid, padded=True)
+            if mesh is not None:
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, meshlib.NamedSharding(
+                        mesh, meshlib.P(meshlib.DATA_AXIS)))
+            enc = atht.encode_mixture(params, chunks, dtype)
+            # static ints can't cross the jit boundary; re-attached in head_fn
+            return {k: v for k, v in enc.items()
+                    if k not in atht.ENC_STATIC_KEYS}
+
+        def head_fn(params, enc, emb, length):
+            enc = {**enc, **plan}
+            b = enc["xt_enc"].shape[0]
+            e = jnp.broadcast_to(emb[None], (b, emb.shape[-1]))
+            out = atht.apply_head(params, enc, e)          # (B, 2, L)
+            valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
+            ola = chunked.overlap_add_weighted(out, grid, overlap, valid)
+            scale = jnp.maximum(jnp.max(jnp.abs(ola)), 1e-8)
+            q = jnp.clip(jnp.round(ola / scale * 32767.0),
+                         -32768, 32767).astype(jnp.int16)
+            return q, scale
+
+        pair = (jax.jit(encode_fn), jax.jit(head_fn))
+        self._sweep_cache[key] = pair
+        return pair

@@ -243,6 +243,25 @@ def encode_mixture(params: Params, wav: jnp.ndarray,
     }
 
 
+ENC_STATIC_KEYS = ("lengths", "lengths_t", "original_length")
+
+
+def static_plan(t: int) -> Dict[str, Any]:
+    """The static (Python-int) parts of ``encode_mixture``'s result for an
+    input of ``t`` samples — lets the encode/head split cross a jit boundary
+    (arrays through jit, this plan re-attached from the closure)."""
+    import math
+
+    t_spec = int(math.ceil(t / htdemucs.HOP))
+    lengths = [t_spec] * len(htdemucs.CHANNELS)
+    lengths_t = []
+    cur = t
+    for _ in htdemucs.CHANNELS:
+        lengths_t.append(cur)
+        cur = -(-cur // htdemucs.STRIDE)     # pad-to-multiple then stride 4
+    return {"lengths": lengths, "lengths_t": lengths_t, "original_length": t}
+
+
 def apply_head(params: Params, enc: Dict[str, Any],
                text_emb: jnp.ndarray) -> jnp.ndarray:
     """Text-conditioned head: cross-attention + decoders + masking + iSTFT."""

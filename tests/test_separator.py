@@ -67,8 +67,11 @@ class TestWireFormats:
         assert scales.shape == (2,)
         dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
         ref = sep.separate_all(song, stems=("drums", "vocals"))
-        np.testing.assert_allclose(dq[0], ref["drums"], atol=1e-6)
-        np.testing.assert_allclose(dq[1], ref["vocals"], atol=1e-6)
+        # pipelined-PCM and fused-float are different XLA programs; they
+        # agree to 16-bit quantisation resolution
+        peak = max(np.abs(ref["drums"]).max(), np.abs(ref["vocals"]).max())
+        np.testing.assert_allclose(dq[0], ref["drums"], atol=2 * peak / 32767)
+        np.testing.assert_allclose(dq[1], ref["vocals"], atol=2 * peak / 32767)
 
     def test_int16_input_matches_f32(self):
         params = atht.init_tiny(jax.random.PRNGKey(3))
@@ -80,3 +83,26 @@ class TestWireFormats:
         a = sep.separate(i16.astype(np.float32) / 32768.0, "bass")
         b = sep.separate(i16, "bass")
         np.testing.assert_allclose(b, a, atol=1e-5)
+
+    def test_static_plan_matches_encode(self):
+        params = atht.init_tiny(jax.random.PRNGKey(4))
+        for t in (11025, 12000, 22050):
+            wav = jnp.zeros((1, 2, t), jnp.float32)
+            enc = atht.encode_mixture(params, wav)
+            plan = atht.static_plan(t)
+            assert plan["lengths"] == enc["lengths"], t
+            assert plan["lengths_t"] == enc["lengths_t"], t
+            assert plan["original_length"] == enc["original_length"]
+
+    def test_pipelined_pcm_matches_fused(self):
+        params = atht.init_tiny(jax.random.PRNGKey(5))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        rng = np.random.default_rng(8)
+        song = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        pcm, scales = sep.separate_all_pcm(song, stems=("drums", "vocals"))
+        dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
+        ref = sep.separate_all(song, stems=("drums", "vocals"))
+        peak = max(np.abs(ref["drums"]).max(), np.abs(ref["vocals"]).max())
+        np.testing.assert_allclose(dq[0], ref["drums"], atol=2 * peak / 32767)
+        np.testing.assert_allclose(dq[1], ref["vocals"], atol=2 * peak / 32767)
