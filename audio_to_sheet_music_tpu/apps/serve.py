@@ -33,7 +33,7 @@ def build_separator(checkpoint: str | None):
 
         params = import_atht_checkpoint(checkpoint, strict=False)
     else:
-        params = atht.init(jax.random.PRNGKey(0))
+        params = atht.init_from_env(jax.random.PRNGKey(0))
         if checkpoint:
             from ..train.checkpoint import load_params_npz
 

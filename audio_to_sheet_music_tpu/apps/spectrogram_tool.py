@@ -35,7 +35,7 @@ def main() -> None:
 
         params = import_atht_checkpoint(args.checkpoint, strict=False)
     else:
-        params = atht.init(jax.random.PRNGKey(0))
+        params = atht.init_from_env(jax.random.PRNGKey(0))
         if args.checkpoint:
             from ..train.checkpoint import load_params_npz
 

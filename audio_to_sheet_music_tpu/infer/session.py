@@ -35,7 +35,7 @@ class Separator:
         params,
         segment_seconds: float = chunked.DEFAULT_SEGMENT_SECONDS,
         overlap_seconds: float = chunked.DEFAULT_OVERLAP_SECONDS,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=None,
         mesh=None,
         tokenizer=None,
         normalize_text: bool = False,
@@ -55,6 +55,11 @@ class Separator:
         self.sample_rate = sample_rate
         self.segment = int(segment_seconds * sample_rate)
         self.overlap = int(overlap_seconds * sample_rate)
+        if compute_dtype is None:
+            # bf16 is native on TPU but *emulated* (pathologically slow) on
+            # CPU backends — pick per backend.
+            compute_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                             else jnp.bfloat16)
         self.compute_dtype = compute_dtype
         self.normalize_text = normalize_text
         self.mesh = mesh

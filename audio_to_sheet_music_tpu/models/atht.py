@@ -188,6 +188,15 @@ def init(key) -> Params:
     }
 
 
+def init_from_env(key) -> Params:
+    """``init()`` unless ``ATSM_TINY_MODEL=1`` (CI-grade CLI runs)."""
+    import os
+
+    if os.environ.get("ATSM_TINY_MODEL") == "1":
+        return init_tiny(key)
+    return init(key)
+
+
 def init_tiny(key) -> Params:
     """A tiny family member with the full architecture and contracts.
 
