@@ -198,6 +198,33 @@ def export_torch_names(params: Any, prefix: str = "") -> Dict[str, np.ndarray]:
             for p, leaf in _tree_paths(params)}
 
 
+def export_atht_checkpoint(params, path: str, epoch: int = 0,
+                           metrics: Mapping[str, float] | None = None) -> None:
+    """Full model pytree -> reference-style ``.pt`` training checkpoint.
+
+    Inverse of ``import_atht_checkpoint``: writes a torch-loadable
+    ``{epoch, model_state_dict, metrics}`` container whose keys follow the
+    reference module naming (``htdemucs.*``, ``clap.*`` with HF text-model
+    prefixes, bare head names), so heads trained here can be consumed by
+    torch tooling.
+    """
+    import torch
+
+    state: Dict[str, Any] = {}
+    state.update(export_torch_names(params["htdemucs"], "htdemucs."))
+    for k, v in export_torch_names(params["clap"]).items():
+        if k.startswith(("embeddings.", "layer.", "pooler.")):
+            k = ("clap.text_model." + k.replace("layer.", "encoder.layer.", 1))
+        else:
+            k = "clap." + k                    # text_projection.*
+        state[k] = v
+    state.update(export_torch_names(params["head"]))
+    torch.save({"epoch": int(epoch),
+                "model_state_dict": {k: torch.tensor(np.asarray(v))
+                                     for k, v in state.items()},
+                "metrics": dict(metrics or {})}, path)
+
+
 def import_atht_checkpoint(path: str, strict: bool = True, template=None):
     """Reference AudioTextHTDemucs ``.pt`` checkpoint -> full model pytree.
 

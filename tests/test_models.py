@@ -277,3 +277,19 @@ class TestConverter:
             for a, b in zip(jax.tree.leaves(src[section]),
                             jax.tree.leaves(out[section])):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_export_import_roundtrip(self, tmp_path):
+        """export_atht_checkpoint -> import_atht_checkpoint is identity."""
+        from audio_to_sheet_music_tpu.convert.torch_import import (
+            export_atht_checkpoint, import_atht_checkpoint)
+
+        src = atht.init_tiny(jax.random.PRNGKey(11))
+        export_atht_checkpoint(src, str(tmp_path / "ckpt.pt"), epoch=5,
+                               metrics={"val_sdr": 1.5})
+        out = import_atht_checkpoint(
+            str(tmp_path / "ckpt.pt"),
+            template=atht.init_tiny(jax.random.PRNGKey(12)))
+        for section in ("htdemucs", "clap", "head"):
+            for a, b in zip(jax.tree.leaves(src[section]),
+                            jax.tree.leaves(out[section])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
