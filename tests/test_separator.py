@@ -106,3 +106,43 @@ class TestWireFormats:
         peak = max(np.abs(ref["drums"]).max(), np.abs(ref["vocals"]).max())
         np.testing.assert_allclose(dq[0], ref["drums"], atol=2 * peak / 32767)
         np.testing.assert_allclose(dq[1], ref["vocals"], atol=2 * peak / 32767)
+
+
+class TestProtocolParity:
+    def test_fused_sweep_matches_naive_host_loop(self):
+        """The device sweep == an independent host-side implementation of the
+        reference protocol (chunk loop, linear fades, weight renorm —
+        `benchmark.py:155-204`), run with the same model."""
+        params = atht.init_tiny(jax.random.PRNGKey(6))
+        segment, overlap = 11025, 2205
+        sep = Separator(params, segment_seconds=segment / 44100,
+                        overlap_seconds=overlap / 44100,
+                        compute_dtype=jnp.float32, wire_dtype=np.float32)
+        rng = np.random.default_rng(9)
+        song = (0.1 * rng.standard_normal((2, 30000))).astype(np.float32)
+        emb = np.asarray(sep.text_embedding("vocals"))
+
+        # naive host loop (independent of infer/chunked.py)
+        hop = segment - overlap
+        w = np.ones(segment, np.float32)
+        ramp = np.linspace(0, 1, overlap, dtype=np.float32)
+        w[:overlap] = ramp
+        w[-overlap:] = ramp[::-1]
+        t = song.shape[-1]
+        acc = np.zeros((2, t + segment), np.float32)
+        wsum = np.zeros(t + segment, np.float32)
+        fwd = jax.jit(lambda p, c, e: atht.forward_with_text_emb(p, c, e))
+        start = 0
+        while start < t:
+            chunk = song[:, start : start + segment]
+            if chunk.shape[-1] < segment:
+                chunk = np.pad(chunk, ((0, 0), (0, segment - chunk.shape[-1])))
+            out = np.asarray(fwd(params, jnp.asarray(chunk)[None],
+                                 jnp.asarray(emb)[None]))[0]
+            acc[:, start : start + segment] += out * w
+            wsum[start : start + segment] += w
+            start += hop
+        naive = (acc / np.maximum(wsum, 1e-8))[:, :t]
+
+        ours = sep.separate(song, "vocals")
+        np.testing.assert_allclose(ours[:, 1:-1], naive[:, 1:-1], atol=2e-4)
