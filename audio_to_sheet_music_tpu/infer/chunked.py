@@ -47,16 +47,25 @@ class ChunkGrid:
 
 
 def plan_chunks(length: int, segment: int, overlap: int,
-                bucket: int = 8) -> ChunkGrid:
+                bucket: int | str = "auto") -> ChunkGrid:
     """Chunk plan for a song of ``length`` samples.
 
     ``n_chunks`` is rounded up to a multiple of ``bucket`` so only
     ``O(song_length / (bucket*hop))`` distinct shapes ever reach jit.
     Padded chunks carry zero OLA weight, so bucketing is output-invariant.
+
+    ``bucket="auto"``: fine-grained (2) for short songs, where padding waste
+    is proportionally large and the few extra compiled shapes are cheap;
+    coarse (8) beyond 16 chunks, where shape diversity would multiply
+    multi-minute compiles across an eval set.
     """
     overlap = min(overlap, segment - 1)
     hop = segment - overlap
-    needed = max(1, math.ceil(max(length - overlap, 1) / hop))
+    # every chunk start < length contributes (reference `while start < t`
+    # loop, app.py:147): count = ceil(length / hop)
+    needed = max(1, math.ceil(length / hop))
+    if bucket == "auto":
+        bucket = 2 if needed <= 16 else 8
     n = math.ceil(needed / bucket) * bucket
     return ChunkGrid(segment=segment, hop=hop, n_chunks=n, length=length)
 

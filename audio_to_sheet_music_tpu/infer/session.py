@@ -66,9 +66,10 @@ class Separator:
         self.tokenizer = tokenizer or default_tokenizer()
         if mesh is not None:
             params = meshlib.replicate(params, mesh)
+            # mesh sharding needs the chunk axis divisible by device count
             self.bucket = meshlib.pad_to_multiple(8, mesh.devices.size)
         else:
-            self.bucket = 8
+            self.bucket = "auto"
         self.params = params
         self.wire_pcm16 = wire_dtype == "pcm16"
         self.wire_dtype = (np.dtype(np.int16) if self.wire_pcm16

@@ -15,12 +15,20 @@ class TestPlan:
         g = chunked.plan_chunks(length=100_000, segment=10_000, overlap=2_500)
         assert g.hop == 7_500
         assert (g.n_chunks - 1) * g.hop + g.segment >= 100_000
-        assert g.n_chunks % 8 == 0
+        assert g.n_chunks % 2 == 0          # auto bucket, short song
+        g8 = chunked.plan_chunks(100_000, 10_000, 2_500, bucket=8)
+        assert g8.n_chunks % 8 == 0
 
     def test_bucketing_bounds_shape_count(self):
-        shapes = {chunked.plan_chunks(t, 264600, 66150).n_chunks
+        shapes = {chunked.plan_chunks(t, 264600, 66150, bucket=8).n_chunks
                   for t in range(264600, 264600 * 40, 99_991)}
         assert len(shapes) <= 8
+
+    def test_auto_bucket_fine_for_short_coarse_for_long(self):
+        short = chunked.plan_chunks(14 * 198450, 264600, 66150)
+        assert short.n_chunks % 2 == 0 and short.n_chunks < 18
+        long_ = chunked.plan_chunks(60 * 198450, 264600, 66150)
+        assert long_.n_chunks % 8 == 0
 
     def test_short_song(self):
         g = chunked.plan_chunks(length=5_000, segment=10_000, overlap=2_500)
