@@ -120,3 +120,30 @@ class TestUtils:
         stats = analyze_clustering(emb, cats)
         assert set(stats) == {"intra_category_mean", "inter_category_mean",
                               "separation"}
+
+
+class TestHTDemucsBaseline:
+    def test_baseline_separate_all(self):
+        """The frozen 4-source baseline through the chunked sweep
+        (reference `benchmark.py:222-266` via demucs.apply_model)."""
+        import jax
+        import jax.numpy as jnp
+
+        from audio_to_sheet_music_tpu.eval.models import HTDemucsBaseline
+        from audio_to_sheet_music_tpu.models import htdemucs
+
+        tiny = htdemucs.htdemucs_init(jax.random.PRNGKey(0),
+                                      channels=(8, 16, 24, 32),
+                                      bottom_channels=64, t_layers=2)
+        model = HTDemucsBaseline(tiny, segment_seconds=0.25,
+                                 overlap_ratio=0.25,
+                                 compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        song = (0.1 * rng.standard_normal((2, 30000))).astype(np.float32)
+        stems = model.separate_all(song)
+        assert set(stems) == set(STEM_NAMES)
+        for s in STEM_NAMES:
+            assert stems[s].shape == (2, 30000)
+            assert np.isfinite(stems[s]).all()
+        single = model.separate(song, "drums")
+        np.testing.assert_allclose(single, stems["drums"], atol=1e-5)
