@@ -62,18 +62,10 @@ def main() -> None:
 
     mixture, gt_stems = load_track(Path(args.track))
 
-    if args.checkpoint and args.checkpoint.endswith(".pt"):
-        from ..convert.torch_import import import_atht_checkpoint
-
-        params = import_atht_checkpoint(args.checkpoint, strict=False)
-    else:
-        params = atht.init_from_env(jax.random.PRNGKey(0))
-        if args.checkpoint:
-            from ..train.checkpoint import load_params_npz
-
-            params = load_params_npz(args.checkpoint, params)
-
-    sep = Separator(params, args.segment_seconds, args.overlap_seconds)
+    params, pretrained = atht.load_params(args.checkpoint,
+                                          jax.random.PRNGKey(0))
+    sep = Separator(params, args.segment_seconds, args.overlap_seconds,
+                    pretrained=pretrained)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     audio_io.write_wav(out_dir / "mixture.wav", mixture)

@@ -28,20 +28,11 @@ def build_separator(checkpoint: str | None):
     from ..infer import Separator
     from ..models import atht
 
-    if checkpoint and checkpoint.endswith(".pt"):
-        from ..convert.torch_import import import_atht_checkpoint
-
-        params = import_atht_checkpoint(checkpoint, strict=False)
-    else:
-        params = atht.init_from_env(jax.random.PRNGKey(0))
-        if checkpoint:
-            from ..train.checkpoint import load_params_npz
-
-            params = load_params_npz(checkpoint, params)
+    params, pretrained = atht.load_params(checkpoint, jax.random.PRNGKey(0))
     # App protocol: 6 s chunks, 0.1 s overlap (reference app.py:133-139),
     # normalised CLAP text features (ClapModel path, app.py:53).
     return Separator(params, segment_seconds=6.0, overlap_seconds=0.1,
-                     normalize_text=True)
+                     normalize_text=True, pretrained=pretrained)
 
 
 def download_youtube_audio(url: str, out_dir: str = "temp") -> Path:

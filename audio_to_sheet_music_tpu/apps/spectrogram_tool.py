@@ -30,17 +30,9 @@ def main() -> None:
     from ..text.prompts import STEM_NAMES
     from ..utils import plotting
 
-    if args.checkpoint and args.checkpoint.endswith(".pt"):
-        from ..convert.torch_import import import_atht_checkpoint
-
-        params = import_atht_checkpoint(args.checkpoint, strict=False)
-    else:
-        params = atht.init_from_env(jax.random.PRNGKey(0))
-        if args.checkpoint:
-            from ..train.checkpoint import load_params_npz
-
-            params = load_params_npz(args.checkpoint, params)
-    sep = Separator(params)
+    params, pretrained = atht.load_params(args.checkpoint,
+                                          jax.random.PRNGKey(0))
+    sep = Separator(params, pretrained=pretrained)
 
     tracks = discover_tracks(args.test_dir)
     if args.tracks:

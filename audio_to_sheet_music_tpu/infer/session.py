@@ -41,6 +41,7 @@ class Separator:
         normalize_text: bool = False,
         sample_rate: int = SAMPLE_RATE,
         wire_dtype="pcm16",
+        pretrained: bool = False,
     ):
         """``wire_dtype``: format for the device->host stem transfer, which
         dominates serving latency over this environment's ~30 MB/s tunnel.
@@ -51,7 +52,12 @@ class Separator:
           (``separate_all_pcm``).
         - ``np.float16``: ~66 dB SNR, 2x fewer bytes.
         - ``np.float32``: exact.
-        All sit far above any separation SDR (clamped at 30 dB)."""
+        All sit far above any separation SDR (clamped at 30 dB).
+
+        ``pretrained=True`` marks ``params`` as real converted weights
+        (e.g. ``convert.import_atht_checkpoint``): the tokenizer then
+        REFUSES the hash fallback (meaningless ids for a pretrained text
+        tower) instead of silently degrading."""
         self.sample_rate = sample_rate
         self.segment = int(segment_seconds * sample_rate)
         self.overlap = int(overlap_seconds * sample_rate)
@@ -63,7 +69,8 @@ class Separator:
         self.compute_dtype = compute_dtype
         self.normalize_text = normalize_text
         self.mesh = mesh
-        self.tokenizer = tokenizer or default_tokenizer()
+        self.tokenizer = tokenizer or default_tokenizer(
+            require_real=pretrained)
         if mesh is not None:
             params = meshlib.replicate(params, mesh)
             # mesh sharding needs the chunk axis divisible by device count
@@ -125,12 +132,13 @@ class Separator:
             valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
             out = chunked.overlap_add_weighted(flat, grid, overlap, valid)
             if self.wire_pcm16:
-                # one scale per STEM (max over its stereo pair) so the
-                # PCM preserves inter-channel balance
-                per_stem = jnp.abs(out).reshape(n_stems, -1).max(axis=-1)
-                scale = jnp.maximum(per_stem, 1e-8)               # (S,)
-                s_rows = jnp.repeat(scale, 2)[:, None]            # (S*2, 1)
-                q = jnp.clip(jnp.round(out / s_rows * 32767.0),
+                # ONE shared scale per song (max over every stem/channel):
+                # the PCM then preserves inter-stem AND inter-channel levels,
+                # so WAVs written from these bytes keep the mix balance
+                # (reference behaviour, `test_inference.py:157-175`)
+                shared = jnp.maximum(jnp.max(jnp.abs(out)), 1e-8)
+                scale = jnp.full((n_stems,), shared)              # (S,)
+                q = jnp.clip(jnp.round(out / shared * 32767.0),
                              -32768, 32767).astype(jnp.int16)
                 return q, scale
             return out.astype(jnp.dtype(self.wire_dtype))
@@ -203,13 +211,15 @@ class Separator:
 
         Pipelined: the frozen encoder runs once, then each stem is a
         separate device program whose PCM transfer overlaps the next stem's
-        head compute.
+        head compute.  All stems quantise against ONE shared song peak so
+        the PCM bytes preserve inter-stem loudness (WAVs written from them
+        keep the mix balance, reference `test_inference.py:157-175`).
         """
         assert self.wire_pcm16, "separate_all_pcm requires wire_dtype='pcm16'"
         length = int(np.shape(mixture)[-1])
         grid = chunked.plan_chunks(length, self.segment, self.overlap,
                                    self.bucket)
-        encode_fn, head_fn = self._get_pipelined(grid)
+        encode_fn, head_fn, quant_fn = self._get_pipelined(grid)
         dev = jnp.asarray(np.ascontiguousarray(mixture))
         if dev.dtype == jnp.int16:
             dev = dev.astype(jnp.float32) * (1.0 / 32768.0)
@@ -218,16 +228,22 @@ class Separator:
         padded = jnp.pad(dev, ((0, 0), (0, grid.padded_length - length)))
         enc = encode_fn(self.params, padded)
         length_arr = jnp.asarray(length, jnp.int32)
-        # dispatch every stem (async), then fetch in order: stem i's D2H
-        # overlaps stem i+1's compute
-        outs = [head_fn(self.params, enc, self.text_embedding(s), length_arr)
+        # dispatch every stem head (async, f32 stems stay in HBM) ...
+        olas = [head_fn(self.params, enc, self.text_embedding(s), length_arr)
                 for s in stems]
-        pcm = np.stack([np.asarray(q[:, :length]) for q, _ in outs])
-        scales = np.array([float(sc) for _, sc in outs], np.float32)
+        # ... reduce the shared peak on device, then quantise each stem;
+        # stem i's PCM D2H overlaps stem i+1's quantise compute
+        shared = jnp.maximum(
+            jnp.max(jnp.stack([pk for _, pk in olas])), 1e-8)
+        qs = [quant_fn(ola, shared) for ola, _ in olas]
+        pcm = np.stack([np.asarray(q[:, :length]) for q in qs])
+        scales = np.full((len(stems),), float(shared), np.float32)
         return pcm, scales
 
     def _get_pipelined(self, grid: chunked.ChunkGrid):
-        """(encode_fn, per-stem head_fn) pair for the pipelined PCM path."""
+        """(encode_fn, per-stem head_fn, quant_fn) for the pipelined PCM
+        path.  head_fn produces the f32 OLA stem + its peak (kept in HBM);
+        quant_fn quantises against the song-shared peak."""
         key = ("pipelined", grid.n_chunks, grid.segment, grid.hop)
         if key in self._sweep_cache:
             return self._sweep_cache[key]
@@ -255,11 +271,12 @@ class Separator:
             out = atht.apply_head(params, enc, e)          # (B, 2, L)
             valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
             ola = chunked.overlap_add_weighted(out, grid, overlap, valid)
-            scale = jnp.maximum(jnp.max(jnp.abs(ola)), 1e-8)
-            q = jnp.clip(jnp.round(ola / scale * 32767.0),
-                         -32768, 32767).astype(jnp.int16)
-            return q, scale
+            return ola, jnp.max(jnp.abs(ola))
 
-        pair = (jax.jit(encode_fn), jax.jit(head_fn))
-        self._sweep_cache[key] = pair
-        return pair
+        def quant_fn(ola, shared_scale):
+            return jnp.clip(jnp.round(ola / shared_scale * 32767.0),
+                            -32768, 32767).astype(jnp.int16)
+
+        trio = (jax.jit(encode_fn), jax.jit(head_fn), jax.jit(quant_fn))
+        self._sweep_cache[key] = trio
+        return trio

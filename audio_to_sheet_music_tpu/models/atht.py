@@ -197,6 +197,28 @@ def init_from_env(key) -> Params:
     return init(key)
 
 
+def load_params(checkpoint: str | None, key=None) -> Tuple[Params, bool]:
+    """Shared CLI loader: ``(params, pretrained)``.
+
+    ``.pt`` paths import a reference torch checkpoint (converted weights ->
+    ``pretrained=True``, which makes ``Separator`` refuse the hash-tokenizer
+    fallback); ``.npz`` paths load framework-native checkpoints over the
+    env-selected template; no checkpoint -> random init.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if checkpoint and str(checkpoint).endswith(".pt"):
+        from ..convert.torch_import import import_atht_checkpoint
+
+        return import_atht_checkpoint(checkpoint, strict=False), True
+    params = init_from_env(key)
+    if checkpoint:
+        from ..train.checkpoint import load_params_npz
+
+        params = load_params_npz(checkpoint, params)
+    return params, False
+
+
 def init_tiny(key) -> Params:
     """A tiny family member with the full architecture and contracts.
 

@@ -21,7 +21,7 @@ Two output contracts, matching the two HF entry points the reference uses:
 
 Param names mirror the HF state_dict so checkpoint conversion is a rename.
 Parity-tested against ``transformers`` (CPU, random weights) in
-``tests/test_clap_text.py``.
+``tests/test_models.py`` (TestClapTextParity).
 """
 
 from __future__ import annotations

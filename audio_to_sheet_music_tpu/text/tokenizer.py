@@ -78,8 +78,15 @@ class RobertaBpeTokenizer:
         return _pad_batch([e.ids for e in encs])
 
 
-def default_tokenizer(vocab_path: str | Path | None = None):
-    """Real BPE if vocab files are available, else the hash fallback."""
+def default_tokenizer(vocab_path: str | Path | None = None,
+                      require_real: bool = False):
+    """Real BPE if vocab files are available, else the hash fallback.
+
+    ``require_real=True`` (set when PRETRAINED weights are in play, e.g. a
+    reference ``.pt`` checkpoint was imported) refuses the hash fallback:
+    hashed ids would silently feed garbage text conditioning to a tower that
+    was trained on real RoBERTa BPE ids (reference `ATHTDemucs_v2.py:19,239`).
+    """
     candidates = []
     if vocab_path:
         candidates.append(Path(vocab_path))
@@ -89,4 +96,13 @@ def default_tokenizer(vocab_path: str | Path | None = None):
     for c in candidates:
         if (c / "tokenizer.json").exists() or (c / "vocab.json").exists():
             return RobertaBpeTokenizer(c)
+    if require_real:
+        looked = ", ".join(str(c) for c in candidates) or "(none)"
+        raise RuntimeError(
+            "Pretrained weights are loaded but no real RoBERTa BPE vocabulary "
+            f"was found (searched: {looked}). The HashTokenizer fallback "
+            "would produce meaningless token ids for a pretrained checkpoint. "
+            "Point ATSM_TOKENIZER_DIR (or vocab_path) at a directory holding "
+            "tokenizer.json or vocab.json+merges.txt from "
+            "laion/clap-htsat-unfused.")
     return HashTokenizer()

@@ -91,16 +91,20 @@ def train(cfg: Config, params=None, mesh=None,
     compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     out_dir = Path(cfg.wandb.output_dir)
     logger = MetricLogger(cfg, out_dir)
-    tokenizer = default_tokenizer()
 
+    pretrained = False
     if params is None:
         resume = cfg.training.resume_from
         if resume and Path(resume).suffix == ".pt":
             from ..convert.torch_import import import_atht_checkpoint
 
             params = import_atht_checkpoint(resume, strict=False)
+            pretrained = True
         else:
             params = atht.init(jax.random.PRNGKey(0))
+    # Converted (pretrained) weights demand real BPE ids; random init may
+    # fall back to the hash tokenizer (tests, random-weight benches).
+    tokenizer = default_tokenizer(require_real=pretrained)
 
     train_tracks = discover_tracks(cfg.data.train_dir)
     val_tracks = discover_tracks(cfg.data.test_dir) or train_tracks
@@ -149,6 +153,11 @@ def train(cfg: Config, params=None, mesh=None,
     }
     train_step = make_train_step(optimizer, loss_cfg, compute_dtype)
     eval_step = make_eval_step(loss_cfg, compute_dtype)
+    # jitted media forward: the wandb triptych sampler must not fall back to
+    # eager per-op dispatch (costly over a TPU tunnel)
+    media_forward = jax.jit(
+        lambda p, mix, ids, mask: atht.forward(p, mix, ids, mask,
+                                               compute_dtype))
 
     frozen = {"htdemucs": params["htdemucs"], "clap": params["clap"]}
     state = TrainState.create(params["head"], optimizer)
@@ -189,10 +198,9 @@ def train(cfg: Config, params=None, mesh=None,
                 if logger.media_active:
                     params_now = {"htdemucs": frozen["htdemucs"],
                                   "clap": frozen["clap"], "head": state.head}
-                    est = atht.forward(params_now, batch["mixture"][:1],
-                                       batch["input_ids"][:1],
-                                       batch["attention_mask"][:1],
-                                       compute_dtype)
+                    est = media_forward(params_now, batch["mixture"][:1],
+                                        batch["input_ids"][:1],
+                                        batch["attention_mask"][:1])
                     stem = STEM_NAMES[int(raw["stem_index"][0])]
                     logger.log_media(np.asarray(batch["mixture"][0]),
                                      np.asarray(batch["target"][0]),

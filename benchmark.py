@@ -53,23 +53,15 @@ def main() -> None:
     if not tracks:
         raise SystemExit("no test tracks found")
 
-    if args.checkpoint and args.checkpoint.endswith(".pt"):
-        from audio_to_sheet_music_tpu.convert.torch_import import (
-            import_atht_checkpoint)
-
-        params = import_atht_checkpoint(args.checkpoint, strict=False)
-    else:
-        params = atht.init_from_env(jax.random.PRNGKey(0))
-        if args.checkpoint:
-            from audio_to_sheet_music_tpu.train.checkpoint import load_params_npz
-
-            params = load_params_npz(args.checkpoint, params)
+    params, pretrained = atht.load_params(args.checkpoint,
+                                          jax.random.PRNGKey(0))
 
     registry = {}
     for name in args.models:
         try:
             if name == "ours":
-                registry["AudioTextHTDemucs (Ours)"] = OursModel(params)
+                registry["AudioTextHTDemucs (Ours)"] = OursModel(
+                    params, pretrained=pretrained)
             elif name == "htdemucs":
                 registry["HTDemucs (pretrained)"] = HTDemucsBaseline(
                     params["htdemucs"])

@@ -108,6 +108,43 @@ class TestWireFormats:
         np.testing.assert_allclose(dq[1], ref["vocals"], atol=2 * peak / 32767)
 
 
+class TestServingContracts:
+    def test_pcm_wavs_preserve_inter_stem_levels(self, tmp_path):
+        """WAVs written straight from separate_all_pcm bytes must reproduce
+        separate_all's RELATIVE stem energies (reference behaviour,
+        `test_inference.py:157-175`): all stems share one song scale."""
+        from audio_to_sheet_music_tpu.utils import audio_io
+
+        params = atht.init_tiny(jax.random.PRNGKey(7))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        rng = np.random.default_rng(10)
+        song = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        stems = ("drums", "vocals")
+        pcm, scales = sep.separate_all_pcm(song, stems=stems)
+        assert np.allclose(scales, scales[0])       # one shared song scale
+
+        ref = sep.separate_all(song, stems=stems)
+        read = {}
+        for i, s in enumerate(stems):
+            path = tmp_path / f"{s}.wav"
+            audio_io.write_wav_pcm(path, pcm[i], float(scales[i]))
+            _, wav = audio_io.read_wav(path)
+            read[s] = wav
+        # energy RATIO between stems survives the PCM wire + WAV roundtrip
+        def ratio(d):
+            e = {s: float(np.sqrt((d[s] ** 2).mean())) for s in stems}
+            return e["drums"] / max(e["vocals"], 1e-12)
+        assert ratio(read) == pytest.approx(ratio(ref), rel=2e-3)
+
+    def test_pretrained_refuses_hash_tokenizer(self, monkeypatch):
+        monkeypatch.delenv("ATSM_TOKENIZER_DIR", raising=False)
+        params = atht.init_tiny(jax.random.PRNGKey(8))
+        with pytest.raises(RuntimeError, match="ATSM_TOKENIZER_DIR"):
+            Separator(params, pretrained=True)
+        Separator(params)  # random-init path keeps the silent fallback
+
+
 class TestProtocolParity:
     def test_fused_sweep_matches_naive_host_loop(self):
         """The device sweep == an independent host-side implementation of the
