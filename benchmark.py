@@ -66,7 +66,8 @@ def main() -> None:
                 registry["HTDemucs (pretrained)"] = HTDemucsBaseline(
                     params["htdemucs"])
             elif name == "clapsep":
-                registry["CLAPSep"] = CLAPSepModel()
+                registry["CLAPSep"] = CLAPSepModel(
+                    clap_params=params["clap"])
         except RuntimeError as e:   # graceful skip (reference :977-980)
             print(f"skipping {name}: {e}")
 
