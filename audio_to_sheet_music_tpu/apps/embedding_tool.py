@@ -11,9 +11,10 @@ violin/viola/cello) with the CLAP text tower, then reports:
 - intra- vs inter-category clustering separation statistics,
 - optional TensorBoard embedding-projector export.
 
-The reference also compares against Word2Vec (gensim) and UMAP; both are
-optional dependencies and are skipped with a note when unavailable, exactly
-like the reference's graceful degradation.
+The Word2Vec comparison leg (reference `embedding_comparison.py:428-486`)
+always runs: gensim KeyedVectors when ``ATSM_W2V_PATH`` provides local
+vectors, otherwise the bundled native skip-gram (``text.word2vec``) trained
+on an offline music corpus.  UMAP stays optional (skipped with a note).
 """
 
 from __future__ import annotations
@@ -53,10 +54,11 @@ def embed_prompts(prompts, checkpoint=None, normalize=True) -> np.ndarray:
 
         params = import_atht_checkpoint(checkpoint, strict=False)["clap"]
     else:
-        params = atht.init(jax.random.PRNGKey(0))["clap"]
+        params = atht.init_from_env(jax.random.PRNGKey(0))["clap"]
     ids, mask = default_tokenizer()(prompts)
     fn = clap_text.get_text_features if normalize else clap_text.text_embeds
-    return np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(mask)))
+    # jit: eager per-op dispatch costs ~65 ms/op over a TPU tunnel
+    return np.asarray(jax.jit(fn)(params, jnp.asarray(ids), jnp.asarray(mask)))
 
 
 def analyze_clustering(emb: np.ndarray, categories) -> dict:
@@ -145,14 +147,47 @@ def main() -> None:
         fig.savefig(out / f"projection_{method}.png", dpi=120)
         plt.close(fig)
 
-    # Word2Vec comparison (reference uses gensim; optional here)
-    try:
-        import gensim  # noqa: F401
+    # Word2Vec comparison (reference embedding_comparison.py:428-486):
+    # gensim KeyedVectors when ATSM_W2V_PATH points at local vectors, else
+    # the bundled native skip-gram trained on the offline music corpus.
+    from ..text import word2vec as w2v_mod
 
-        print("gensim available — word2vec comparison not bundled with "
-              "pretrained vectors offline; skipping download")
-    except ImportError:
-        report["word2vec"] = "skipped (gensim unavailable)"
+    w2v = w2v_mod.load_or_train()
+    w2v_emb, kept, kept_idx = w2v_mod.embed_texts(w2v, prompts)
+    if len(kept) >= 2:
+        kept_cats = [categories[i] for i in kept_idx]
+        report["word2vec"] = {
+            "backend": w2v.backend,
+            "dim": int(w2v.dim),
+            "n_prompts": len(kept),
+            **analyze_clustering(w2v_emb, kept_cats),
+        }
+        wsim = w2v_emb / np.linalg.norm(w2v_emb, axis=-1, keepdims=True)
+        wsim = wsim @ wsim.T
+        fig, ax = plt.subplots(figsize=(8, 7))
+        im = ax.imshow(wsim, cmap="viridis")
+        ax.set_xticks(range(len(kept)), kept, rotation=90, fontsize=7)
+        ax.set_yticks(range(len(kept)), kept, fontsize=7)
+        ax.set_title("Word2Vec cosine similarity")
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(out / "cosine_similarity_word2vec.png", dpi=120)
+        plt.close(fig)
+        pts = reduce_dimensions(w2v_emb, "pca")
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.scatter(pts[:, 0], pts[:, 1],
+                   c=[colors[c] for c in kept_cats], cmap="tab10")
+        for p, (x, y) in zip(kept, pts):
+            ax.annotate(p, (x, y), fontsize=7)
+        ax.set_title("Word2Vec prompt embeddings — PCA")
+        fig.tight_layout()
+        fig.savefig(out / "projection_word2vec_pca.png", dpi=120)
+        plt.close(fig)
+        # the reference's headline contrast: CLAP vs Word2Vec separation
+        report["comparison"] = {
+            "clap_separation": report["clap"]["separation"],
+            "word2vec_separation": report["word2vec"]["separation"],
+        }
 
     if args.tensorboard:
         try:
