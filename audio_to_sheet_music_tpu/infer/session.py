@@ -209,42 +209,61 @@ class Separator:
         consumes directly (``utils.audio_io.write_wav_pcm``).  Requires
         ``wire_dtype='pcm16'`` (the default).
 
-        Pipelined: the frozen encoder runs once, then each stem is a
-        separate device program whose PCM transfer overlaps the next stem's
-        head compute.  All stems quantise against ONE shared song peak so
-        the PCM bytes preserve inter-stem loudness (WAVs written from them
-        keep the mix balance, reference `test_inference.py:157-175`).
+        Pipelined: ONE program runs the frozen encoder, then stems run in
+        PAIRS (two heads per program — cross-stem CSE shares the phase/skip
+        computations) whose PCM transfer overlaps the next pair's compute.
+        All stems quantise against ONE shared scale known up-front —
+        ``2 x peak(|mixture|)`` — so the PCM bytes preserve inter-stem
+        loudness (WAVs written verbatim keep the mix balance, reference
+        `test_inference.py:157-175`) without serialising the pipeline on a
+        cross-stem peak reduction.  The 2x headroom costs one SNR bit
+        (~84 dB left) and clips only if a stem peaks above twice the
+        mixture's peak (not a thing for a bounded-mask separator; and WAV
+        output clips there anyway).
         """
         assert self.wire_pcm16, "separate_all_pcm requires wire_dtype='pcm16'"
         length = int(np.shape(mixture)[-1])
         grid = chunked.plan_chunks(length, self.segment, self.overlap,
                                    self.bucket)
-        encode_fn, head_fn, quant_fn = self._get_pipelined(grid)
         dev = jnp.asarray(np.ascontiguousarray(mixture))
         if dev.dtype == jnp.int16:
             dev = dev.astype(jnp.float32) * (1.0 / 32768.0)
         elif dev.dtype != jnp.float32:
             dev = dev.astype(jnp.float32)
         padded = jnp.pad(dev, ((0, 0), (0, grid.padded_length - length)))
-        enc = encode_fn(self.params, padded)
         length_arr = jnp.asarray(length, jnp.int32)
-        # dispatch every stem head (async, f32 stems stay in HBM) ...
-        olas = [head_fn(self.params, enc, self.text_embedding(s), length_arr)
-                for s in stems]
-        # ... reduce the shared peak on device, then quantise each stem;
-        # stem i's PCM D2H overlaps stem i+1's quantise compute
-        shared = jnp.maximum(
-            jnp.max(jnp.stack([pk for _, pk in olas])), 1e-8)
-        qs = [quant_fn(ola, shared) for ola, _ in olas]
-        pcm = np.stack([np.asarray(q[:, :length]) for q in qs])
-        scales = np.full((len(stems),), float(shared), np.float32)
+
+        encode_fn = self._get_pipelined(grid, "encode")
+        enc, scale = encode_fn(self.params, padded)
+        # dispatch all pair programs first (async); fetches then overlap the
+        # later pairs' head compute AND each other (the tunnel aggregates
+        # concurrent streams slightly better than one serial stream)
+        qs = []
+        for i in range(0, len(stems), 2):
+            pair = stems[i : i + 2]
+            head_pair_fn = self._get_pipelined(grid, len(pair))
+            embs = jnp.stack([self.text_embedding(s) for s in pair])
+            qs.append(head_pair_fn(self.params, enc, embs, scale,
+                                   length_arr)[:, :, :length])
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=max(1, len(qs))) as ex:
+            parts = list(ex.map(np.asarray, qs))
+        pcm = np.concatenate(parts)
+        scales = np.full((len(stems),), float(scale), np.float32)
         return pcm, scales
 
-    def _get_pipelined(self, grid: chunked.ChunkGrid):
-        """(encode_fn, per-stem head_fn, quant_fn) for the pipelined PCM
-        path.  head_fn produces the f32 OLA stem + its peak (kept in HBM);
-        quant_fn quantises against the song-shared peak."""
-        key = ("pipelined", grid.n_chunks, grid.segment, grid.hop)
+    def _get_pipelined(self, grid: chunked.ChunkGrid, which):
+        """Programs for the pipelined PCM path, cached per (grid, which).
+
+        ``which="encode"``: song -> (enc state in HBM, shared scale =
+        2 x mixture peak).  ``which=n`` (int): an n-stem head program —
+        enc + (n, 512) embeddings -> int16 (n, 2, T) PCM quantised against
+        the shared scale.  Stems run pairwise so cross-stem CSE (phase,
+        skip resizes) is shared while PCM transfers still overlap the next
+        pair's compute.
+        """
+        key = ("pipelined", grid.n_chunks, grid.segment, grid.hop, which)
         if key in self._sweep_cache:
             return self._sweep_cache[key]
         dtype = self.compute_dtype
@@ -253,30 +272,38 @@ class Separator:
 
         plan = atht.static_plan(grid.segment)
 
-        def encode_fn(params, song_padded):
-            chunks = chunked.frame_song(song_padded, grid, padded=True)
-            if mesh is not None:
-                chunks = jax.lax.with_sharding_constraint(
-                    chunks, meshlib.NamedSharding(
-                        mesh, meshlib.P(meshlib.DATA_AXIS)))
-            enc = atht.encode_mixture(params, chunks, dtype)
-            # static ints can't cross the jit boundary; re-attached in head_fn
-            return {k: v for k, v in enc.items()
-                    if k not in atht.ENC_STATIC_KEYS}
+        if which == "encode":
+            def encode_fn(params, song_padded):
+                scale = jnp.maximum(2.0 * jnp.max(jnp.abs(song_padded)), 1e-8)
+                chunks = chunked.frame_song(song_padded, grid, padded=True)
+                if mesh is not None:
+                    chunks = jax.lax.with_sharding_constraint(
+                        chunks, meshlib.NamedSharding(
+                            mesh, meshlib.P(meshlib.DATA_AXIS)))
+                enc = atht.encode_mixture(params, chunks, dtype)
+                # static ints can't cross the jit boundary; re-attached in
+                # the head programs
+                return {k: v for k, v in enc.items()
+                        if k not in atht.ENC_STATIC_KEYS}, scale
 
-        def head_fn(params, enc, emb, length):
-            enc = {**enc, **plan}
-            b = enc["xt_enc"].shape[0]
-            e = jnp.broadcast_to(emb[None], (b, emb.shape[-1]))
-            out = atht.apply_head(params, enc, e)          # (B, 2, L)
-            valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
-            ola = chunked.overlap_add_weighted(out, grid, overlap, valid)
-            return ola, jnp.max(jnp.abs(ola))
+            fn = jax.jit(encode_fn)
+        else:
+            n_stems = int(which)
 
-        def quant_fn(ola, shared_scale):
-            return jnp.clip(jnp.round(ola / shared_scale * 32767.0),
-                            -32768, 32767).astype(jnp.int16)
+            def heads_fn(params, enc, embs, scale, length):
+                enc = {**enc, **plan}
+                b = enc["xt_enc"].shape[0]
+                valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
+                qs = []
+                for s in range(n_stems):       # static unroll -> CSE shares
+                    e = jnp.broadcast_to(embs[s][None], (b, embs.shape[-1]))
+                    out = atht.apply_head(params, enc, e)      # (B, 2, L)
+                    ola = chunked.overlap_add_weighted(out, grid, overlap,
+                                                       valid)
+                    qs.append(jnp.clip(jnp.round(ola / scale * 32767.0),
+                                       -32768, 32767).astype(jnp.int16))
+                return jnp.stack(qs)                           # (n, 2, T)
 
-        trio = (jax.jit(encode_fn), jax.jit(head_fn), jax.jit(quant_fn))
-        self._sweep_cache[key] = trio
-        return trio
+            fn = jax.jit(heads_fn)
+        self._sweep_cache[key] = fn
+        return fn

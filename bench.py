@@ -60,6 +60,16 @@ def main() -> None:
     print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # Diagnostic: measured D2H bandwidth of the tunnel this session.  The
+    # 4-stem PCM payload is ~42 MB, so throughput tracks tunnel weather
+    # (observed 23-66 MB/s across sessions); this line makes runs comparable.
+    probe = jax.numpy.asarray(song) + 1      # fresh device buffer
+    np.asarray(probe[:, :4])
+    t0 = time.perf_counter()
+    np.asarray(probe)
+    bw = song.nbytes / (time.perf_counter() - t0) / 1e6
+    print(f"tunnel D2H: {bw:.0f} MB/s", file=sys.stderr)
+
     # Best of 3: the TPU tunnel's device<->host throughput is noisy; the
     # best run reflects device capability rather than tunnel weather.
     times = []

@@ -68,10 +68,10 @@ class TestWireFormats:
         dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
         ref = sep.separate_all(song, stems=("drums", "vocals"))
         # pipelined-PCM and fused-float are different XLA programs; they
-        # agree to 16-bit quantisation resolution
-        peak = max(np.abs(ref["drums"]).max(), np.abs(ref["vocals"]).max())
-        np.testing.assert_allclose(dq[0], ref["drums"], atol=2 * peak / 32767)
-        np.testing.assert_allclose(dq[1], ref["vocals"], atol=2 * peak / 32767)
+        # agree to the quantisation resolution of the shared scale
+        atol = 1.5 * scales.max() / 32767
+        np.testing.assert_allclose(dq[0], ref["drums"], atol=atol)
+        np.testing.assert_allclose(dq[1], ref["vocals"], atol=atol)
 
     def test_int16_input_matches_f32(self):
         params = atht.init_tiny(jax.random.PRNGKey(3))
@@ -103,9 +103,9 @@ class TestWireFormats:
         pcm, scales = sep.separate_all_pcm(song, stems=("drums", "vocals"))
         dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
         ref = sep.separate_all(song, stems=("drums", "vocals"))
-        peak = max(np.abs(ref["drums"]).max(), np.abs(ref["vocals"]).max())
-        np.testing.assert_allclose(dq[0], ref["drums"], atol=2 * peak / 32767)
-        np.testing.assert_allclose(dq[1], ref["vocals"], atol=2 * peak / 32767)
+        atol = 1.5 * scales.max() / 32767
+        np.testing.assert_allclose(dq[0], ref["drums"], atol=atol)
+        np.testing.assert_allclose(dq[1], ref["vocals"], atol=atol)
 
 
 class TestServingContracts:
