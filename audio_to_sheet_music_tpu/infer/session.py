@@ -4,9 +4,10 @@ Owns: model params (optionally mesh-replicated), a prompt->embedding cache
 (the text tower runs once per distinct prompt, SURVEY §7 step 4), and a cache
 of **fully-fused jitted song sweeps** keyed by chunk grid: framing, the
 shared frozen encoder pass, every per-stem head, and the weighted overlap-add
-all run as ONE XLA program per song — a single device dispatch and a single
-host transfer, no eager op-by-op traffic (which dominates wall-clock over the
-TPU tunnel).  Replaces the reference's three separate host-side loops
+all run as ONE XLA program per song (or per chunk group on the pipelined PCM
+path, where each group's host transfer overlaps later groups' compute) — no
+eager op-by-op traffic (which dominates wall-clock over the TPU tunnel).
+Replaces the reference's three separate host-side loops
 (`benchmark.py:122-215`, `app.py:129-178`, `test_inference.py:96-142`).
 """
 
@@ -200,18 +201,28 @@ class Separator:
         return {stem: out[i] for i, stem in enumerate(stems)}
 
     def separate_all_pcm(self, mixture: np.ndarray,
-                         stems: Sequence[str] = STEM_NAMES):
+                         stems: Sequence[str] = STEM_NAMES,
+                         group_chunks: int = 4):
         """All stems as 16-bit PCM: ``(pcm int16 (S, 2, T), scales (S,))``.
 
-        The zero-copy serving path: quantisation happens on device with one
-        peak scale per stem (``sample_value = pcm * scale / 32767``); the
-        host only receives PCM bytes — what a WAV writer or playback API
-        consumes directly (``utils.audio_io.write_wav_pcm``).  Requires
-        ``wire_dtype='pcm16'`` (the default).
+        The zero-copy serving path: quantisation happens on device
+        (``sample_value = pcm * scale / 32767``); the host only receives PCM
+        bytes — what a WAV writer or playback API consumes directly
+        (``utils.audio_io.write_wav_pcm``).  Requires ``wire_dtype='pcm16'``
+        (the default).
 
-        Pipelined: ONE program runs the frozen encoder, then stems run in
-        PAIRS (two heads per program — cross-stem CSE shares the phase/skip
-        computations) whose PCM transfer overlaps the next pair's compute.
+        Group-pipelined: the chunk grid is processed in groups of
+        ``group_chunks`` chunks.  Each group runs ONE program — upload ->
+        encode -> every stem head -> unnormalised overlap-add with a carry
+        from the previous group (the streaming-API recurrence, device-side)
+        -> int16 quantisation — and emits the ``group_chunks * hop`` samples
+        whose OLA weights are final.  Groups chain through the carry, so the
+        device works through them back-to-back while each finished group's
+        PCM rides the host link concurrently with later groups' compute and
+        uploads: end-to-end time approaches ``max(compute, transfer)``
+        instead of their sum (the host link is the serving bottleneck: the
+        4-stem payload of a 60 s song is ~42 MB).
+
         All stems quantise against ONE shared scale known up-front —
         ``2 x peak(|mixture|)`` — so the PCM bytes preserve inter-stem
         loudness (WAVs written verbatim keep the mix balance, reference
@@ -222,88 +233,123 @@ class Separator:
         output clips there anyway).
         """
         assert self.wire_pcm16, "separate_all_pcm requires wire_dtype='pcm16'"
-        length = int(np.shape(mixture)[-1])
-        grid = chunked.plan_chunks(length, self.segment, self.overlap,
-                                   self.bucket)
-        dev = jnp.asarray(np.ascontiguousarray(mixture))
-        if dev.dtype == jnp.int16:
-            dev = dev.astype(jnp.float32) * (1.0 / 32768.0)
-        elif dev.dtype != jnp.float32:
-            dev = dev.astype(jnp.float32)
-        padded = jnp.pad(dev, ((0, 0), (0, grid.padded_length - length)))
-        length_arr = jnp.asarray(length, jnp.int32)
-
-        encode_fn = self._get_pipelined(grid, "encode")
-        enc, scale = encode_fn(self.params, padded)
-        # dispatch all pair programs first (async); fetches then overlap the
-        # later pairs' head compute AND each other (the tunnel aggregates
-        # concurrent streams slightly better than one serial stream)
-        qs = []
-        for i in range(0, len(stems), 2):
-            pair = stems[i : i + 2]
-            head_pair_fn = self._get_pipelined(grid, len(pair))
-            embs = jnp.stack([self.text_embedding(s) for s in pair])
-            qs.append(head_pair_fn(self.params, enc, embs, scale,
-                                   length_arr)[:, :, :length])
         import concurrent.futures as _cf
 
-        with _cf.ThreadPoolExecutor(max_workers=max(1, len(qs))) as ex:
-            parts = list(ex.map(np.asarray, qs))
-        pcm = np.concatenate(parts)
-        scales = np.full((len(stems),), float(scale), np.float32)
-        return pcm, scales
+        n_stems = len(stems)
+        song = np.ascontiguousarray(mixture)
+        length = int(song.shape[-1])
+        # Shared scale, host-side (one vectorised pass over the raw samples
+        # is cheap; everything per-sample AFTER separation stays on device).
+        if song.dtype == np.int16:
+            peak = max(int(song.max(initial=0)), -int(song.min(initial=0)))
+            peak = peak / 32768.0
+        else:
+            song = song.astype(np.float32, copy=False)
+            peak = max(float(song.max(initial=0.0)),
+                       -float(song.min(initial=0.0)))
+        scale = max(2.0 * peak, 1e-8)
 
-    def _get_pipelined(self, grid: chunked.ChunkGrid, which):
-        """Programs for the pipelined PCM path, cached per (grid, which).
+        grid = chunked.plan_chunks(length, self.segment, self.overlap,
+                                   self.bucket)
+        g = max(1, min(group_chunks, grid.n_chunks))
+        if self.mesh is not None:    # group = the sharded chunk axis
+            d = self.mesh.devices.size
+            g = -(-g // d) * d
+        n_groups = -(-grid.n_chunks // g)
+        hop, seg = grid.hop, grid.segment
+        span = (g - 1) * hop + seg          # samples one group's program sees
+        advance = g * hop                    # samples finalised per group
+        tail = span - advance                # = overlap carried across groups
 
-        ``which="encode"``: song -> (enc state in HBM, shared scale =
-        2 x mixture peak).  ``which=n`` (int): an n-stem head program —
-        enc + (n, 512) embeddings -> int16 (n, 2, T) PCM quantised against
-        the shared scale.  Stems run pairwise so cross-stem CSE (phase,
-        skip resizes) is shared while PCM transfers still overlap the next
-        pair's compute.
+        fn = self._get_group_fn(g, seg, hop, n_stems)
+        embs = jnp.stack([self.text_embedding(s) for s in stems])
+        scale_arr = jnp.asarray(scale, jnp.float32)
+        length_arr = jnp.asarray(length, jnp.int32)
+        carry_acc = jnp.zeros((n_stems * 2, tail), jnp.float32)
+        carry_w = jnp.zeros((tail,), jnp.float32)
+
+        pcm = np.empty((n_stems * 2, n_groups * advance), np.int16)
+        futures = []
+        with _cf.ThreadPoolExecutor(max_workers=4) as ex:
+            for i in range(n_groups):
+                start = i * advance
+                piece = song[:, start : start + span]
+                if piece.shape[-1] < span:   # zero-pad the last group(s)
+                    piece = np.pad(piece,
+                                   ((0, 0), (0, span - piece.shape[-1])))
+                q, carry_acc, carry_w = fn(
+                    self.params, jnp.asarray(piece), embs, scale_arr,
+                    jnp.asarray(start, jnp.int32), length_arr,
+                    carry_acc, carry_w)
+                take = min(advance, length - start)
+                if take <= 0:
+                    break
+                # fetch in a worker so the transfer overlaps later groups'
+                # compute and uploads; crop the last group on device
+                src = q if take == advance else q[:, :take]
+                futures.append(ex.submit(self._fetch_into, pcm, start, src))
+            for f in futures:
+                f.result()
+        scales = np.full((n_stems,), scale, np.float32)
+        return pcm.reshape(n_stems, 2, -1)[:, :, :length], scales
+
+    @staticmethod
+    def _fetch_into(out: np.ndarray, start: int, src) -> None:
+        arr = np.asarray(src)
+        out[:, start : start + arr.shape[-1]] = arr
+
+    def _get_group_fn(self, g: int, seg: int, hop: int, n_stems: int):
+        """The per-group program of the pipelined PCM path, cached per
+        (group size, segment, hop, #stems).
+
+        ``(params, song (2, span) [int16 or f32], embs (S, 512), scale,
+        global_start, length, carry_acc (S*2, tail), carry_w (tail,))
+        -> (pcm int16 (S*2, g*hop), carry_acc', carry_w')``
+
+        One XLA program per group: framing, the shared frozen encoder over
+        the group's chunks, every stem head (static unroll -> cross-stem
+        CSE shares phase/skip computations), unnormalised OLA + carry-in,
+        normalisation and quantisation of the finalised region, carry-out.
+        Chunks whose global start falls past ``length`` carry zero weight,
+        so bucket padding never contaminates real samples.
         """
-        key = ("pipelined", grid.n_chunks, grid.segment, grid.hop, which)
+        key = ("group", g, seg, hop, n_stems)
         if key in self._sweep_cache:
             return self._sweep_cache[key]
         dtype = self.compute_dtype
         overlap = self.overlap
         mesh = self.mesh
+        grid = chunked.ChunkGrid(segment=seg, hop=hop, n_chunks=g,
+                                 length=(g - 1) * hop + seg)
+        advance = g * hop
 
-        plan = atht.static_plan(grid.segment)
+        def group_fn(params, song, embs, scale, global_start, length,
+                     carry_acc, carry_w):
+            if song.dtype == jnp.int16:
+                song = song.astype(jnp.float32) * (1.0 / 32768.0)
+            chunks = chunked.frame_song(song, grid, padded=True)
+            if mesh is not None:
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, meshlib.NamedSharding(
+                        mesh, meshlib.P(meshlib.DATA_AXIS)))
+            enc = atht.encode_mixture(params, chunks, dtype)
+            outs = []
+            for s in range(n_stems):        # static unroll -> CSE shares
+                e = jnp.broadcast_to(embs[s][None], (g, embs.shape[-1]))
+                outs.append(atht.apply_head(params, enc, e))
+            stacked = jnp.stack(outs)        # (S, g, 2, seg)
+            s_, b_, c_, l_ = stacked.shape
+            flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
+            valid = (global_start + jnp.arange(g) * hop) < length
+            acc, wsum = chunked.overlap_add_weighted(flat, grid, overlap,
+                                                     valid, normalize=False)
+            acc = acc.at[:, : carry_acc.shape[-1]].add(carry_acc)
+            wsum = wsum.at[: carry_w.shape[-1]].add(carry_w)
+            emit = acc[:, :advance] / jnp.maximum(wsum[:advance], 1e-8)
+            q = jnp.clip(jnp.round(emit / scale * 32767.0),
+                         -32768, 32767).astype(jnp.int16)
+            return q, acc[:, advance:], wsum[advance:]
 
-        if which == "encode":
-            def encode_fn(params, song_padded):
-                scale = jnp.maximum(2.0 * jnp.max(jnp.abs(song_padded)), 1e-8)
-                chunks = chunked.frame_song(song_padded, grid, padded=True)
-                if mesh is not None:
-                    chunks = jax.lax.with_sharding_constraint(
-                        chunks, meshlib.NamedSharding(
-                            mesh, meshlib.P(meshlib.DATA_AXIS)))
-                enc = atht.encode_mixture(params, chunks, dtype)
-                # static ints can't cross the jit boundary; re-attached in
-                # the head programs
-                return {k: v for k, v in enc.items()
-                        if k not in atht.ENC_STATIC_KEYS}, scale
-
-            fn = jax.jit(encode_fn)
-        else:
-            n_stems = int(which)
-
-            def heads_fn(params, enc, embs, scale, length):
-                enc = {**enc, **plan}
-                b = enc["xt_enc"].shape[0]
-                valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
-                qs = []
-                for s in range(n_stems):       # static unroll -> CSE shares
-                    e = jnp.broadcast_to(embs[s][None], (b, embs.shape[-1]))
-                    out = atht.apply_head(params, enc, e)      # (B, 2, L)
-                    ola = chunked.overlap_add_weighted(out, grid, overlap,
-                                                       valid)
-                    qs.append(jnp.clip(jnp.round(ola / scale * 32767.0),
-                                       -32768, 32767).astype(jnp.int16))
-                return jnp.stack(qs)                           # (n, 2, T)
-
-            fn = jax.jit(heads_fn)
+        fn = jax.jit(group_fn)
         self._sweep_cache[key] = fn
         return fn

@@ -73,6 +73,28 @@ def main() -> None:
         print(f"{name:>16}: {r['best_s']*1e3:8.1f} ms  "
               f"({rate * mult:7.1f} stem-audio-sec/s)")
 
+    # STFT path comparison: XLA matmul-DFT (default) vs the fused Pallas
+    # kernel (ops.pallas_stft, opt-in ATSM_PALLAS_STFT=1).  Measures the
+    # standalone spec() op — the kernel's claim is avoiding the framed-signal
+    # HBM materialisation, so the delta here is its documented payoff.
+    import os
+
+    from audio_to_sheet_music_tpu.ops import dsp, pallas_stft
+
+    if jax.default_backend() != "cpu" and pallas_stft.supports(
+            htdemucs.NFFT, htdemucs.HOP):
+        spec_fn = jax.jit(lambda w: dsp.spec(w, htdemucs.NFFT, htdemucs.HOP).real)
+        os.environ["ATSM_PALLAS_STFT"] = "0"
+        r_xla = timed(spec_fn, wav, warmup=1, iters=3)
+        os.environ["ATSM_PALLAS_STFT"] = "1"
+        spec_pl = jax.jit(
+            lambda w: dsp.spec(w, htdemucs.NFFT, htdemucs.HOP).real)
+        r_pl = timed(spec_pl, wav, warmup=1, iters=3)
+        del os.environ["ATSM_PALLAS_STFT"]
+        print(f"{'stft_xla':>16}: {r_xla['best_s']*1e3:8.1f} ms")
+        print(f"{'stft_pallas':>16}: {r_pl['best_s']*1e3:8.1f} ms  "
+              f"({r_xla['best_s'] / r_pl['best_s']:.2f}x vs XLA)")
+
 
 if __name__ == "__main__":
     main()
