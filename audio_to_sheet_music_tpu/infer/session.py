@@ -255,24 +255,33 @@ class Separator:
         if self.mesh is not None:    # group = the sharded chunk axis
             d = self.mesh.devices.size
             g = -(-g // d) * d
-        n_groups = -(-grid.n_chunks // g)
         hop, seg = grid.hop, grid.segment
-        span = (g - 1) * hop + seg          # samples one group's program sees
-        advance = g * hop                    # samples finalised per group
-        tail = span - advance                # = overlap carried across groups
 
-        fn = self._get_group_fn(g, seg, hop, n_stems)
+        # Group schedule: a half-size first group cuts the pipeline-fill
+        # latency (the host link idles until the first group's PCM is ready),
+        # then full groups. The carry shape (overlap samples) is group-size
+        # independent, so differently-sized group programs chain freely.
+        schedule = []
+        if self.mesh is None and grid.n_chunks > g and g >= 2:
+            schedule.append(g // 2)
+        left = grid.n_chunks - sum(schedule)
+        schedule += [g] * max(0, -(-left // g))
+        total_advance = sum(schedule) * hop
+
         embs = jnp.stack([self.text_embedding(s) for s in stems])
         scale_arr = jnp.asarray(scale, jnp.float32)
         length_arr = jnp.asarray(length, jnp.int32)
-        carry_acc = jnp.zeros((n_stems * 2, tail), jnp.float32)
-        carry_w = jnp.zeros((tail,), jnp.float32)
+        carry_acc = jnp.zeros((n_stems * 2, seg - hop), jnp.float32)
+        carry_w = jnp.zeros((seg - hop,), jnp.float32)
 
-        pcm = np.empty((n_stems * 2, n_groups * advance), np.int16)
+        pcm = np.empty((n_stems * 2, total_advance), np.int16)
         futures = []
+        start = 0
         with _cf.ThreadPoolExecutor(max_workers=4) as ex:
-            for i in range(n_groups):
-                start = i * advance
+            for gi in schedule:
+                span = (gi - 1) * hop + seg
+                advance = gi * hop
+                fn = self._get_group_fn(gi, seg, hop, n_stems)
                 piece = song[:, start : start + span]
                 if piece.shape[-1] < span:   # zero-pad the last group(s)
                     piece = np.pad(piece,
@@ -288,6 +297,7 @@ class Separator:
                 # compute and uploads; crop the last group on device
                 src = q if take == advance else q[:, :take]
                 futures.append(ex.submit(self._fetch_into, pcm, start, src))
+                start += advance
             for f in futures:
                 f.result()
         scales = np.full((n_stems,), scale, np.float32)
