@@ -15,11 +15,13 @@ conventions, ``F.interpolate(align_corners=False)`` == half-pixel
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 Params = dict
@@ -312,17 +314,70 @@ def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool = True) -> jnp
 # Interpolation (torch F.interpolate, align_corners=False)
 # ---------------------------------------------------------------------------
 
+_RESIZE_MATMUL_MAX = 1 << 22   # in*out elements; 16 MB f32 weight ceiling
+
+
+def _lerp_src(in_size: int, size: int):
+    """torch align_corners=False source positions, edge clamped (numpy,
+    trace time — sizes are static)."""
+    src = (np.arange(size) + 0.5) * (in_size / size) - 0.5
+    i0f = np.floor(src)
+    frac = (src - i0f).astype(np.float32)
+    i0 = np.clip(i0f.astype(np.int64), 0, in_size - 1)
+    i1 = np.clip(i0f.astype(np.int64) + 1, 0, in_size - 1)
+    return i0, i1, frac
+
+
+@functools.lru_cache(maxsize=64)
+def _lerp_weight(in_size: int, size: int) -> np.ndarray:
+    """Dense ``(in, out)`` linear-interpolation matrix (2 taps per column)."""
+    i0, i1, frac = _lerp_src(in_size, size)
+    w = np.zeros((in_size, size), np.float32)
+    cols = np.arange(size)
+    np.add.at(w, (i0, cols), 1.0 - frac)
+    np.add.at(w, (i1, cols), frac)
+    return w
+
+
+def _lerp_resize_axis(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """Linear resize of one axis; torch ``F.interpolate(mode='linear'/
+    'bilinear', align_corners=False, antialias=False)`` semantics.
+
+    Two lowerings, picked by axis size (both exact):
+
+    - small axes -> one MXU matmul against the dense 2-tap interpolation
+      matrix (measured faster than gathers at decoder-skip sizes);
+    - large axes -> gather the two source neighbours and lerp, O(elements).
+      ``jax.image.resize`` is dense always, which made the time decoder's
+      66152 -> 66150 adjustment a ~10-TMAC matmul with a multi-GB operand.
+    """
+    in_size = x.shape[axis]
+    if in_size == size:
+        return x
+    if in_size * size <= _RESIZE_MATMUL_MAX:
+        w = jnp.asarray(_lerp_weight(in_size, size), x.dtype)
+        moved = jnp.moveaxis(x, axis, -1)
+        out = jnp.matmul(moved, w, preferred_element_type=jnp.float32)
+        return jnp.moveaxis(out.astype(x.dtype), -1, axis)
+    i0, i1, frac = _lerp_src(in_size, size)
+    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = size
+    f = jnp.asarray(frac).reshape(shape)
+    return (x0.astype(jnp.float32) * (1.0 - f)
+            + x1.astype(jnp.float32) * f).astype(x.dtype)
+
+
 def interpolate_linear(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """(B, C, T) -> (B, C, size); torch 'linear', align_corners=False."""
-    if x.shape[-1] == size:
-        return x
-    return jax.image.resize(x, (*x.shape[:-1], size), method="linear",
-                            antialias=False)
+    return _lerp_resize_axis(x, size, x.ndim - 1)
 
 
 def interpolate_bilinear(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
-    """(B, C, H, W) -> (B, C, *size); torch 'bilinear', align_corners=False."""
-    if tuple(x.shape[-2:]) == tuple(size):
-        return x
-    return jax.image.resize(x, (*x.shape[:-2], *size), method="linear",
-                            antialias=False)
+    """(B, C, H, W) -> (B, C, *size); torch 'bilinear', align_corners=False.
+
+    Separable: each axis resizes independently (skipping same-size axes —
+    ``jax.image.resize`` would contract an identity matrix there)."""
+    x = _lerp_resize_axis(x, size[0], x.ndim - 2)
+    return _lerp_resize_axis(x, size[1], x.ndim - 1)
