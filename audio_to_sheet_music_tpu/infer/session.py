@@ -121,13 +121,9 @@ class Separator:
                     chunks, meshlib.NamedSharding(
                         self.mesh, meshlib.P(meshlib.DATA_AXIS)))
             enc = atht.encode_mixture(params, chunks, dtype)
-            b = chunks.shape[0]
-            outs = []
-            for s in range(n_stems):           # static unroll over stems
-                e = jnp.broadcast_to(stem_embs[s][None],
-                                     (b, stem_embs.shape[1]))
-                outs.append(atht.apply_head(params, enc, e))
-            stacked = jnp.stack(outs)           # (S, B, 2, L)
+            # one batched (S*B) head pass (better MXU utilisation than an
+            # unrolled per-stem loop; see atht.apply_head_multi)
+            stacked = atht.apply_head_multi(params, enc, stem_embs)
             s_, b_, c_, l_ = stacked.shape
             flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
             valid = (jnp.arange(grid.n_chunks) * grid.hop) < length
@@ -317,8 +313,8 @@ class Separator:
         -> (pcm int16 (S*2, g*hop), carry_acc', carry_w')``
 
         One XLA program per group: framing, the shared frozen encoder over
-        the group's chunks, every stem head (static unroll -> cross-stem
-        CSE shares phase/skip computations), unnormalised OLA + carry-in,
+        the group's chunks, every stem head as one batched (S*g) pass
+        (``atht.apply_head_multi``), unnormalised OLA + carry-in,
         normalisation and quantisation of the finalised region, carry-out.
         Chunks whose global start falls past ``length`` carry zero weight,
         so bucket padding never contaminates real samples.
@@ -343,11 +339,7 @@ class Separator:
                     chunks, meshlib.NamedSharding(
                         mesh, meshlib.P(meshlib.DATA_AXIS)))
             enc = atht.encode_mixture(params, chunks, dtype)
-            outs = []
-            for s in range(n_stems):        # static unroll -> CSE shares
-                e = jnp.broadcast_to(embs[s][None], (g, embs.shape[-1]))
-                outs.append(atht.apply_head(params, enc, e))
-            stacked = jnp.stack(outs)        # (S, g, 2, seg)
+            stacked = atht.apply_head_multi(params, enc, embs)  # (S, g, 2, seg)
             s_, b_, c_, l_ = stacked.shape
             flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
             valid = (global_start + jnp.arange(g) * hop) < length

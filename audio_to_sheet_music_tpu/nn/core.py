@@ -354,6 +354,20 @@ def _lerp_resize_axis(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     in_size = x.shape[axis]
     if in_size == size:
         return x
+    if in_size % size == 0:
+        # Exact integer decimation: src = (j+0.5)*s - 0.5 lands on sample
+        # s*j + (s-1)/2 (odd s, frac 0) or between s*j + s/2 - 1 and
+        # s*j + s/2 (even s, frac exactly 0.5) — a strided-slice blend,
+        # no matmul or gather (the freq decoder's 1344 -> 336 resizes).
+        s = in_size // size
+        moved = jnp.moveaxis(x, axis, -1)
+        phases = moved.reshape(*moved.shape[:-1], size, s)
+        if s % 2:
+            out = phases[..., (s - 1) // 2]
+        else:
+            out = 0.5 * (phases[..., s // 2 - 1].astype(jnp.float32)
+                         + phases[..., s // 2].astype(jnp.float32))
+        return jnp.moveaxis(out.astype(x.dtype), -1, axis)
     if in_size * size <= _RESIZE_MATMUL_MAX:
         w = jnp.asarray(_lerp_weight(in_size, size), x.dtype)
         moved = jnp.moveaxis(x, axis, -1)

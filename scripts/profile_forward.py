@@ -55,10 +55,7 @@ def main() -> None:
     @jax.jit
     def four_stem(params, wav, embs):
         enc = atht.encode_mixture(params, wav, dtype)
-        outs = [atht.apply_head(params, enc,
-                                jnp.broadcast_to(e[None], (b, 512)))
-                for e in embs]
-        return jnp.stack(outs)
+        return atht.apply_head_multi(params, enc, embs)
 
     audio_sec = b * 6.0
     for name, fn, fnargs in [

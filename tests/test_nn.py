@@ -150,6 +150,18 @@ def test_interpolate_linear(rng):
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_interpolate_linear_integer_decimation(rng):
+    # exact integer downsample factors hit the strided-slice fast path
+    # (even s -> 2-tap 0.5/0.5 blend, odd s -> pure slice)
+    x = rng.standard_normal((2, 3, 24)).astype(np.float32)
+    for size in [12, 8, 6]:   # s = 2, 3, 4
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="linear", align_corners=False
+        ).numpy()
+        ours = np.asarray(jnn.interpolate_linear(jnp.asarray(x), size))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_interpolate_bilinear(rng):
     x = rng.standard_normal((2, 3, 9, 7)).astype(np.float32)
     for size in [(18, 7), (5, 13), (36, 28)]:
