@@ -170,10 +170,26 @@ class Separator:
         out = self._run_sweep_raw(mixture, embs, n_stems)
         if self.wire_pcm16:
             q, scale = out
-            q = np.asarray(q)
+            q = self._fetch_array(q)
             row_scale = np.repeat(np.asarray(scale), 2)[:, None]
             return q.astype(np.float32) * (row_scale / 32767.0)
-        return np.asarray(out).astype(np.float32)               # (S*2, T)
+        return self._fetch_array(out).astype(np.float32)        # (S*2, T)
+
+    @classmethod
+    def _fetch_array(cls, src, nsplit: int = 4) -> np.ndarray:
+        """Device -> host fetch over ``nsplit`` concurrent row-slice streams
+        (the tunnel's D2H bandwidth is per-stream limited; see
+        ``_submit_fetch``)."""
+        import concurrent.futures as _cf
+
+        rows = int(src.shape[0])
+        if rows < 2:
+            return np.asarray(src)
+        out = np.empty(src.shape, np.dtype(src.dtype))
+        with _cf.ThreadPoolExecutor(max_workers=nsplit) as ex:
+            for f in cls._submit_fetch(ex, out, 0, src, nsplit):
+                f.result()
+        return out
 
     # -- separation ---------------------------------------------------------
 
@@ -273,7 +289,7 @@ class Separator:
         pcm = np.empty((n_stems * 2, total_advance), np.int16)
         futures = []
         start = 0
-        with _cf.ThreadPoolExecutor(max_workers=4) as ex:
+        with _cf.ThreadPoolExecutor(max_workers=8) as ex:
             for gi in schedule:
                 span = (gi - 1) * hop + seg
                 advance = gi * hop
@@ -289,10 +305,14 @@ class Separator:
                 take = min(advance, length - start)
                 if take <= 0:
                     break
-                # fetch in a worker so the transfer overlaps later groups'
-                # compute and uploads; crop the last group on device
+                # fetch in workers so transfers overlap later groups' compute
+                # and uploads — split into row-slice streams: the tunnel's
+                # D2H is per-stream limited (~13-21 MB/s single stream vs
+                # ~48 MB/s aggregate over 2-4 concurrent streams, measured),
+                # so even a lone group's fetch must ride several streams.
+                # Crop the last group on device.
                 src = q if take == advance else q[:, :take]
-                futures.append(ex.submit(self._fetch_into, pcm, start, src))
+                futures += self._submit_fetch(ex, pcm, start, src)
                 start += advance
             for f in futures:
                 f.result()
@@ -300,9 +320,20 @@ class Separator:
         return pcm.reshape(n_stems, 2, -1)[:, :, :length], scales
 
     @staticmethod
-    def _fetch_into(out: np.ndarray, start: int, src) -> None:
+    def _fetch_into(out: np.ndarray, row: int, start: int, src) -> None:
         arr = np.asarray(src)
-        out[:, start : start + arr.shape[-1]] = arr
+        out[row : row + arr.shape[0], start : start + arr.shape[-1]] = arr
+
+    @classmethod
+    def _submit_fetch(cls, ex, out: np.ndarray, start: int, src,
+                      nsplit: int = 4):
+        """Submit ``src (R, T)`` as ``nsplit`` concurrent row-slice
+        transfers into ``out[:, start:...]`` (aggregate tunnel bandwidth
+        scales with concurrent streams up to ~4)."""
+        rows = src.shape[0]
+        step = max(1, -(-rows // nsplit))
+        return [ex.submit(cls._fetch_into, out, r0, start, src[r0:r0 + step])
+                for r0 in range(0, rows, step)]
 
     def _get_group_fn(self, g: int, seg: int, hop: int, n_stems: int):
         """The per-group program of the pipelined PCM path, cached per

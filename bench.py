@@ -60,15 +60,22 @@ def main() -> None:
     print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # Diagnostic: measured D2H bandwidth of the tunnel this session.  The
-    # 4-stem PCM payload is ~42 MB, so throughput tracks tunnel weather
-    # (observed 23-66 MB/s across sessions); this line makes runs comparable.
-    probe = jax.numpy.asarray(song) + 1      # fresh device buffer
-    np.asarray(probe[:, :4])
+    # Diagnostic: measured D2H bandwidth of the tunnel this session — single
+    # stream and 4-stream aggregate (the tunnel is per-stream limited; the
+    # serving path fetches over concurrent row-slice streams).  The 4-stem
+    # PCM payload is ~42 MB, so throughput tracks the aggregate number.
+    probe = jax.numpy.asarray(np.tile(song, (4, 1))) + 1   # fresh buffer
+    np.asarray(probe[:1, :4])
     t0 = time.perf_counter()
     np.asarray(probe)
-    bw = song.nbytes / (time.perf_counter() - t0) / 1e6
-    print(f"tunnel D2H: {bw:.0f} MB/s", file=sys.stderr)
+    bw1 = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    probe = probe + 1                                       # fresh buffer
+    from audio_to_sheet_music_tpu.infer.session import Separator as _S
+    t0 = time.perf_counter()
+    _S._fetch_array(probe, nsplit=4)
+    bw4 = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    print(f"tunnel D2H: {bw1:.0f} MB/s single-stream, "
+          f"{bw4:.0f} MB/s 4-stream aggregate", file=sys.stderr)
 
     # Best of 3: the TPU tunnel's device<->host throughput is noisy; the
     # best run reflects device capability rather than tunnel weather.
