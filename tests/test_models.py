@@ -156,6 +156,20 @@ class TestATHT:
         out2 = fwd(atht_params, same_wav, ids, mask)
         assert float(jnp.abs(out2[0] - out2[1]).max()) > 1e-6
 
+    def test_apply_head_multi_matches_per_stem(self, atht_params, small_wav):
+        """The batched (S*B) multi-stem head pass == S independent head
+        applications (the serving sweeps rely on this identity)."""
+        enc = atht.encode_mixture(atht_params, small_wav)
+        embs = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 512)), jnp.float32)
+        batched = atht.apply_head_multi(atht_params, enc, embs)
+        b = small_wav.shape[0]
+        for s in range(3):
+            e = jnp.broadcast_to(embs[s][None], (b, 512))
+            single = atht.apply_head(atht_params, enc, e)
+            np.testing.assert_allclose(np.asarray(batched[s]),
+                                       np.asarray(single), atol=1e-5)
+
     def test_gradients_only_reach_head(self, atht_params, small_wav):
         """Frozen towers get zero grads (stop_gradient = torch.no_grad parity)."""
         ids = jnp.array([[0, 10, 2], [0, 999, 2]])
