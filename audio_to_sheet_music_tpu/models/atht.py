@@ -327,7 +327,8 @@ def apply_head(params: Params, enc: Dict[str, Any],
 
 
 def apply_head_multi(params: Params, enc: Dict[str, Any],
-                     stem_embs: jnp.ndarray) -> jnp.ndarray:
+                     stem_embs: jnp.ndarray,
+                     max_batch: int = 64) -> jnp.ndarray:
     """Run the head for S stems as ONE batched pass -> (S, B, 2, T).
 
     Tiles the encoder state S times along batch and gives each copy its
@@ -336,9 +337,20 @@ def apply_head_multi(params: Params, enc: Dict[str, Any],
     convs are utilisation-bound): measured 606 -> 508 ms for the 4-stem
     16-chunk sweep on v5e.  The multi-stem analogue of the reference's
     per-stem full-model loop (`benchmark.py:139-153`).
+
+    Tiling multiplies peak head-activation HBM by ~S, so beyond
+    ``max_batch`` combined rows (a many-minute song's bucketed chunk grid)
+    this falls back to S sequential passes, which XLA schedules with buffer
+    reuse.
     """
     s = stem_embs.shape[0]
     b = enc["mag"].shape[0]
+    if s * b > max_batch:
+        outs = [apply_head(params, enc,
+                           jnp.broadcast_to(stem_embs[i][None],
+                                            (b, stem_embs.shape[-1])))
+                for i in range(s)]
+        return jnp.stack(outs)
 
     def tile(v):
         return jnp.concatenate([v] * s, axis=0)

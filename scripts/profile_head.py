@@ -87,7 +87,7 @@ def main() -> None:
         lambda z: dsp.ispec(z[:, :2], t, htdemucs.NFFT, htdemucs.HOP),
         encs["z"])
 
-    run("resize 336->2048 alone",
+    run(f"resize {t_spec}->{fq} alone",
         lambda x: nn.interpolate_bilinear(x, (fq, t_spec)),
         jnp.zeros((b, 2, t_spec, t_spec), jnp.float32))
 

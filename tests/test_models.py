@@ -163,12 +163,16 @@ class TestATHT:
         embs = jnp.asarray(
             np.random.default_rng(0).standard_normal((3, 512)), jnp.float32)
         batched = atht.apply_head_multi(atht_params, enc, embs)
+        # max_batch=1 forces the sequential memory-guard fallback
+        seq = atht.apply_head_multi(atht_params, enc, embs, max_batch=1)
         b = small_wav.shape[0]
         for s in range(3):
             e = jnp.broadcast_to(embs[s][None], (b, 512))
             single = atht.apply_head(atht_params, enc, e)
             np.testing.assert_allclose(np.asarray(batched[s]),
                                        np.asarray(single), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(seq[s]),
+                                       np.asarray(single), atol=1e-6)
 
     def test_gradients_only_reach_head(self, atht_params, small_wav):
         """Frozen towers get zero grads (stop_gradient = torch.no_grad parity)."""

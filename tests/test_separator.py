@@ -107,6 +107,26 @@ class TestWireFormats:
         np.testing.assert_allclose(dq[0], ref["drums"], atol=atol)
         np.testing.assert_allclose(dq[1], ref["vocals"], atol=atol)
 
+    def test_pipelined_pcm_mixed_group_schedule(self):
+        """A song long enough for the half-size-first-group schedule
+        ([g//2, g, ...]): the carry must chain across group-size seams and
+        the over-covering last group must crop (schedule covers more chunks
+        than the grid needs)."""
+        params = atht.init_tiny(jax.random.PRNGKey(5))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        rng = np.random.default_rng(9)
+        song = (0.1 * rng.standard_normal((2, 60000))).astype(np.float32)
+        # hop=8820 -> n_chunks=ceil(60000/8820)=7 -> bucket 2 -> 8 > g=4,
+        # so schedule = [2, 4, 4] (10 chunks >= 8: over-coverage crops)
+        pcm, scales = sep.separate_all_pcm(song, stems=("drums", "vocals"))
+        assert pcm.shape == (2, 2, 60000)
+        dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
+        ref = sep.separate_all(song, stems=("drums", "vocals"))
+        atol = 1.5 * scales.max() / 32767
+        np.testing.assert_allclose(dq[0], ref["drums"], atol=atol)
+        np.testing.assert_allclose(dq[1], ref["vocals"], atol=atol)
+
 
 class TestServingContracts:
     def test_pcm_wavs_preserve_inter_stem_levels(self, tmp_path):
