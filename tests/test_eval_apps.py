@@ -147,3 +147,65 @@ class TestHTDemucsBaseline:
             assert np.isfinite(stems[s]).all()
         single = model.separate(song, "drums")
         np.testing.assert_allclose(single, stems["drums"], atol=1e-5)
+
+
+class TestServeApp:
+    """Gradio-free pieces of apps/serve.py (reference `app.py:113-126, 205-249`)."""
+
+    def test_load_input_numpy_payload_float_and_int(self):
+        from audio_to_sheet_music_tpu.apps.serve import _load_input
+
+        rng = np.random.default_rng(0)
+        data = (0.1 * rng.standard_normal((4410, 2))).astype(np.float32)
+        wav = _load_input((44100, data), None)
+        assert wav.shape == (2, 4410)
+        np.testing.assert_allclose(wav, data.T, atol=1e-6)
+
+        # int16-range payloads (gradio delivers these for uploaded WAVs)
+        ints = (data * 32767).astype(np.int16).astype(np.float32)
+        wav_i = _load_input((44100, ints), None)
+        assert np.abs(wav_i).max() <= 1.0
+        np.testing.assert_allclose(wav_i, ints.T / 32768.0, atol=1e-6)
+
+    def test_load_input_mono_resample_and_wav_path(self, tmp_path):
+        from audio_to_sheet_music_tpu.apps.serve import _load_input
+        from audio_to_sheet_music_tpu.utils import audio_io
+
+        rng = np.random.default_rng(1)
+        mono = (0.1 * rng.standard_normal(22050)).astype(np.float32)
+        wav = _load_input((22050, mono), None)       # mono 22.05k -> stereo 44.1k
+        assert wav.shape[0] == 2
+        assert wav.shape[1] == 44100
+        np.testing.assert_allclose(wav[0], wav[1])   # duplicated channel
+
+        p = tmp_path / "clip.wav"
+        stereo = (0.1 * rng.standard_normal((2, 4410))).astype(np.float32)
+        audio_io.write_wav(p, stereo, 44100)
+        wav2 = _load_input(None, str(p))
+        assert wav2.shape == (2, 4410)
+        np.testing.assert_allclose(wav2, stereo, atol=2e-4)  # 16-bit quantised
+
+    def test_load_input_errors(self):
+        from audio_to_sheet_music_tpu.apps.serve import _load_input
+
+        with pytest.raises(ValueError, match="upload or a file path"):
+            _load_input(None, None)
+        with pytest.raises(ValueError, match="wav"):
+            _load_input(None, "song.mp3")
+
+    def test_build_separator_tiny_end_to_end(self, monkeypatch):
+        """The app's Separator (0.1 s-overlap protocol, normalised text
+        features) separates an upload end-to-end without gradio."""
+        monkeypatch.setenv("ATSM_TINY_MODEL", "1")
+        from audio_to_sheet_music_tpu.apps import serve
+
+        sep = serve.build_separator(None)
+        sep.segment = 11025          # shrink the protocol for the tiny model
+        sep.overlap = 2205
+        rng = np.random.default_rng(2)
+        wav = serve._load_input(
+            (44100, (0.1 * rng.standard_normal((30000, 2))).astype(np.float32)),
+            None)
+        out = sep.separate(wav, "the vocals")
+        assert out.shape == wav.shape
+        assert np.isfinite(out).all()
