@@ -41,7 +41,10 @@ class DataConfig:
     overlap: float = 0.1          # seconds, chunked-inference overlap
     sample_rate: int = 44100
     channels: int = 2
-    random_segments: bool = False
+    # The reference hardcodes random segments for train datasets and ignores
+    # its own config key (`src/train.py:431` vs `config.yaml:10`); we honor
+    # the key, defaulting to the reference's effective behavior (True).
+    random_segments: bool = True
     augment: bool = True
     cache_dir: str = ""           # decode-once cache of per-track arrays (new)
 
@@ -113,7 +116,7 @@ class Config:
             overlap=float(_get(cfg, "data.overlap", 0.1)),
             sample_rate=int(_get(cfg, "data.sample_rate", 44100)),
             channels=int(_get(cfg, "data.channels", 2)),
-            random_segments=bool(_get(cfg, "data.random_segments", False)),
+            random_segments=bool(_get(cfg, "data.random_segments", True)),
             augment=bool(_get(cfg, "data.augment", True)),
             cache_dir=_get(cfg, "data.cache_dir", ""),
         )

@@ -56,8 +56,12 @@ class Track:
             stems = []
             for stem in WAV_STEM_FILES:
                 _, data = wavfile.read(self.path / f"{stem}.wav")
-                if data.dtype != np.float32:
+                if data.dtype == np.uint8:     # 8-bit PCM is offset-binary
+                    data = (data.astype(np.float32) - 128.0) / 128.0
+                elif data.dtype.kind in "iu":
                     data = data.astype(np.float32) / np.iinfo(data.dtype).max
+                elif data.dtype != np.float32:  # float64 WAVs
+                    data = data.astype(np.float32)
                 stems.append(data.T if data.ndim == 2 else data[None, :])
             t = min(s.shape[-1] for s in stems)
             return np.stack([s[:, :t] for s in stems]).astype(np.float32)
@@ -147,7 +151,10 @@ class StemSegmentDataset:
         stems = track.load(mmap=True)
         t = stems.shape[-1]
         if self.random_segments and t > self.segment:
-            start = int(self.rng.integers(0, t - self.segment))
+            # inclusive upper bound: reference `random.randint(0, total -
+            # segment)` includes the final window (dataloader.py:97), as
+            # does the C++ loader's uniform_int_distribution
+            start = int(self.rng.integers(0, t - self.segment + 1))
         else:
             start = min(seg_idx * self.segment, max(0, t - 1))
         mixture = self._slice(stems[0], start)
@@ -217,17 +224,31 @@ class BatchLoader:
         if n_batches == 0:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()   # set when the consumer abandons the
+        # iterator (e.g. max_steps_per_epoch) so the producer exits instead
+        # of blocking on a full queue forever (thread + batch leak)
 
         def producer():
             for b in range(n_batches):
+                if stop.is_set():
+                    return
                 idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(self._make_batch(idxs))
+                batch = self._make_batch(idxs)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
             q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

@@ -110,7 +110,15 @@ class Loader {
         random_(random_segments) {
     for (const auto& p : paths) {
       Track t;
-      if (parse_npy(p.c_str(), &t)) tracks_.push_back(t);
+      if (parse_npy(p.c_str(), &t)) {
+        tracks_.push_back(t);
+      } else {
+        // surface corrupt/unparseable caches instead of silently training
+        // on a shrunken dataset (the Python path raises on such files)
+        std::fprintf(stderr,
+                     "segment_loader: skipping unparseable npy: %s\n",
+                     p.c_str());
+      }
     }
     for (int ti = 0; ti < static_cast<int>(tracks_.size()); ++ti) {
       int64_t n_seg = std::max<int64_t>(

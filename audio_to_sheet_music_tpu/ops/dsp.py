@@ -175,16 +175,23 @@ def hann_window(n_fft: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def pad_reflect_safe(x: jnp.ndarray, pad_left: int, pad_right: int) -> jnp.ndarray:
-    """Reflect-pad the last axis; zero-pad first if the signal is too short.
+    """Reflect-pad the last axis; zero-extend first if the signal is too
+    short (reflect padding requires ``pad < T``).
 
-    Mirrors demucs ``pad1d``: reflect padding requires ``pad < T``, so short
-    inputs are zero-extended before reflecting.
+    Mirrors demucs ``pad1d``'s length contract: the zero extension is split
+    across the two sides (right side first, capped at ``pad_right``) and the
+    reflect pads shrink by the same amounts, so the output is always exactly
+    ``length + pad_left + pad_right`` samples.
     """
     length = x.shape[-1]
     max_pad = max(pad_left, pad_right)
     if length <= max_pad:
         extra = max_pad - length + 1
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, extra)])
+        extra_right = min(pad_right, extra)
+        extra_left = extra - extra_right
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(extra_left, extra_right)])
+        pad_left -= extra_left
+        pad_right -= extra_right
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)], mode="reflect")
 
 
@@ -258,10 +265,9 @@ def stft(x: jnp.ndarray, n_fft: int = 4096, hop: int = 1024,
     return z  # (..., F, n_frames)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def istft(
     z: jnp.ndarray, length: int | None = None, n_fft: int = 4096, hop: int = 1024,
-    real_output: bool = True,
 ) -> jnp.ndarray:
     """``torch.istft`` parity: center=True, normalized=True, hann window.
 

@@ -12,7 +12,9 @@ scalars.  Numerical contract per reference:
   (`src/loss.py:71-87`).
 - ``combined_loss`` — 0.9·sdr + 0.1·sisdr + logging metrics
   (`src/loss.py:90-127`).
-- ``combined_l1_sdr_loss`` — 1.0·sdr + 0.1·L1 (`src/loss.py:130-162`).
+- ``combined_l1_sdr_loss`` — sdr + L1 (`src/loss.py:130-162`); the 0.05
+  function default mirrors the reference's (its trainer always overrides it
+  from config, where the shipped value is 0.1 — as does ours).
 
 The combined losses return ``(loss, metrics)`` where metrics is a dict of f32
 scalars (still traced values — call ``float()`` host-side for logging).

@@ -86,13 +86,19 @@ def _subset(dataset: StemSegmentDataset, pct: float, seed: int = 0):
 
 
 def train(cfg: Config, params=None, mesh=None,
-          max_steps_per_epoch: int | None = None) -> Dict[str, float]:
-    """Run training; returns ``{"best_sdr": ..., "final_epoch": ...}``."""
+          max_steps_per_epoch: int | None = None,
+          pretrained: bool = False) -> Dict[str, float]:
+    """Run training; returns ``{"best_sdr": ..., "final_epoch": ...}``.
+
+    Pass ``pretrained=True`` when supplying converted real-checkpoint
+    weights via ``params`` (``resume_from=*.pt`` sets it automatically):
+    it makes the tokenizer refuse the hash fallback, which would feed
+    meaningless ids to a pretrained text tower.
+    """
     compute_dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     out_dir = Path(cfg.wandb.output_dir)
     logger = MetricLogger(cfg, out_dir)
 
-    pretrained = False
     if params is None:
         resume = cfg.training.resume_from
         if resume and Path(resume).suffix == ".pt":
@@ -128,7 +134,7 @@ def train(cfg: Config, params=None, mesh=None,
                 augment=cfg.data.augment,
                 random_segments=cfg.data.random_segments)
         ds = _subset(StemSegmentDataset(train_tracks, seg,
-                                        random_segments=True,
+                                        random_segments=cfg.data.random_segments,
                                         augment=cfg.data.augment),
                      cfg.data.pct_train)
         return BatchLoader(ds, cfg.training.batch_size, tokenizer)
@@ -185,7 +191,10 @@ def train(cfg: Config, params=None, mesh=None,
     mean_loss = float("nan")
     for epoch in range(start_epoch, cfg.training.num_epochs):
         t0 = time.time()
-        epoch_metrics = []
+        # device-side running loss: per-step float(...) would force a
+        # host round-trip per step, serialising dispatch against the TPU
+        loss_sum = jnp.zeros((), jnp.float32)
+        n_steps = 0
         for i, raw in enumerate(train_loader):
             if i >= steps_per_epoch:
                 break
@@ -205,9 +214,10 @@ def train(cfg: Config, params=None, mesh=None,
                     logger.log_media(np.asarray(batch["mixture"][0]),
                                      np.asarray(batch["target"][0]),
                                      np.asarray(est[0]), stem, global_step)
-            epoch_metrics.append(float(metrics["loss/total"]))
+            loss_sum = loss_sum + metrics["loss/total"]
+            n_steps += 1
         dt = time.time() - t0
-        mean_loss = float(np.mean(epoch_metrics)) if epoch_metrics else np.nan
+        mean_loss = float(loss_sum) / n_steps if n_steps else np.nan
         print(f"epoch {epoch}: loss {mean_loss:.4f} "
               f"({steps_per_epoch / max(dt, 1e-9):.2f} steps/s)")
 

@@ -195,3 +195,21 @@ class TestMatmulFFT:
         ours = np.asarray(dsp.irfft_matmul(jnp.asarray(z), n))
         ref = np.fft.irfft(z, n=n, axis=-1)
         np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_pad_reflect_safe_short_input_length_contract():
+    """demucs pad1d contract: output is ALWAYS length + pl + pr samples,
+    even when the signal is shorter than a pad (zero-extension is split
+    across sides and the reflect pads shrink by the same amounts)."""
+    x = jnp.arange(1, 6, dtype=jnp.float32)[None]          # 5 samples
+    for pl, pr in [(1536, 1536 + 1024), (2048, 2048), (10, 3), (0, 10)]:
+        out = np.asarray(dsp.pad_reflect_safe(x, pl, pr))
+        assert out.shape[-1] == 5 + pl + pr, (pl, pr)
+        # the original samples sit exactly at [pl, pl + length)
+        np.testing.assert_array_equal(out[0, pl : pl + 5],
+                                      np.arange(1, 6, dtype=np.float32))
+    # long inputs: plain reflect, unchanged
+    y = np.arange(100, dtype=np.float32)[None]
+    out = np.asarray(dsp.pad_reflect_safe(jnp.asarray(y), 10, 3))
+    np.testing.assert_array_equal(
+        out, np.pad(y, ((0, 0), (10, 3)), mode="reflect"))
