@@ -49,13 +49,11 @@ def embed_prompts(prompts, checkpoint=None, normalize=True) -> np.ndarray:
     from ..models import atht, clap_text
     from ..text.tokenizer import default_tokenizer
 
-    if checkpoint and checkpoint.endswith(".pt"):
-        from ..convert.torch_import import import_atht_checkpoint
-
-        params = import_atht_checkpoint(checkpoint, strict=False)["clap"]
-    else:
-        params = atht.init_from_env(jax.random.PRNGKey(0))["clap"]
-    ids, mask = default_tokenizer()(prompts)
+    # shared loader: .pt (converted, pretrained=True), .npz (native), or
+    # random init; pretrained weights refuse the hash-tokenizer fallback
+    full, pretrained = atht.load_params(checkpoint, jax.random.PRNGKey(0))
+    params = full["clap"]
+    ids, mask = default_tokenizer(require_real=pretrained)(prompts)
     fn = clap_text.get_text_features if normalize else clap_text.text_embeds
     # jit: eager per-op dispatch costs ~65 ms/op over a TPU tunnel
     return np.asarray(jax.jit(fn)(params, jnp.asarray(ids), jnp.asarray(mask)))

@@ -48,11 +48,16 @@ def download_youtube_audio(url: str, out_dir: str = "temp") -> Path:
                            "path instead") from e
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    # bestaudio is practically never .wav, and _load_input only reads .wav
+    # without ffmpeg — so post-process the download to wav (needs ffmpeg,
+    # which yt-dlp reports clearly when missing).
     opts = {"format": "bestaudio/best",
-            "outtmpl": str(out / "yt_audio.%(ext)s"), "quiet": True}
+            "outtmpl": str(out / "yt_audio.%(ext)s"), "quiet": True,
+            "postprocessors": [{"key": "FFmpegExtractAudio",
+                                "preferredcodec": "wav"}]}
     with yt_dlp.YoutubeDL(opts) as ydl:
         info = ydl.extract_info(url, download=True)
-        return Path(ydl.prepare_filename(info))
+        return Path(ydl.prepare_filename(info)).with_suffix(".wav")
 
 
 def _load_input(audio, path_text):
@@ -62,8 +67,12 @@ def _load_input(audio, path_text):
         path_text = str(download_youtube_audio(path_text))
     if audio is not None:
         sr, data = audio                       # gradio numpy audio
+        if data.dtype == np.uint8:             # 8-bit PCM is offset-binary
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        elif data.dtype.kind in "iu":          # int16/int32 payloads
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
         wav = data.T.astype(np.float32) if data.ndim == 2 else data[None].astype(np.float32)
-        if np.abs(wav).max() > 1.5:            # int-range payload
+        if np.abs(wav).max() > 1.5:            # float payload in int range
             wav = wav / 32768.0
     elif path_text:
         p = Path(path_text)

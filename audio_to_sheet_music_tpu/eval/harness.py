@@ -29,7 +29,12 @@ from ..text.prompts import STEM_NAMES
 
 
 def compute_sdr(estimate: np.ndarray, reference: np.ndarray) -> float:
-    """Full-track SDR in dB, (C, T) inputs (reference `benchmark.py:555-570`)."""
+    """Full-track SDR in dB, (C, T) inputs (reference `benchmark.py:555-570`).
+
+    Deliberately inherits the +-30 dB clamp: the reference's benchmark
+    negates its clamped training loss (`benchmark.py:569` -> `src/loss.py:
+    9-30`), so eval numbers diff directly against `eval_results/*.json`
+    only with the clamp in place."""
     return float(-losses.sdr_loss(jnp.asarray(estimate)[None],
                                   jnp.asarray(reference)[None]))
 

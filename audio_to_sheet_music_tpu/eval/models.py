@@ -110,7 +110,11 @@ class CLAPSepModel(SeparationModel):
 
     def __init__(self, clap_params=None, weights: str | None = None,
                  cfg=None, tokenizer=None, chunk_seconds: float | None = None,
-                 overlap_seconds: float | None = None):
+                 overlap_seconds: float | None = None,
+                 pretrained: bool = False):
+        """``pretrained=True`` (set it when ``clap_params`` or ``weights``
+        are real converted checkpoints) makes the tokenizer refuse the
+        hash fallback — meaningless ids for a pretrained text tower."""
         import os
 
         from ..models import clap_text, clapsep
@@ -141,7 +145,8 @@ class CLAPSepModel(SeparationModel):
         if clap_params is None:
             clap_params = clap_text.clap_text_init(jax.random.PRNGKey(1))
         self._clap = clap_params
-        self._tok = tokenizer or default_tokenizer()
+        self._tok = tokenizer or default_tokenizer(
+            require_real=pretrained or bool(weights))
         self._emb = jax.jit(clap_text.get_text_features)
         self._fwd = jax.jit(
             lambda p, wav, ep, en: clapsep.forward(p, wav, ep, en, self.cfg))

@@ -15,7 +15,7 @@ path away from stream edges (verified in ``tests/test_streaming.py``).
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -63,11 +63,7 @@ class StreamingSeparator:
         def block(params, song, embs):
             chunks = chunked.frame_song(song, grid, padded=True)
             enc = atht.encode_mixture(params, chunks, sep.compute_dtype)
-            outs = []
-            for s in range(n_stems):
-                e = jnp.broadcast_to(embs[s][None], (grid.n_chunks, 512))
-                outs.append(atht.apply_head(params, enc, e))
-            stacked = jnp.stack(outs)
+            stacked = atht.apply_head_multi(params, enc, embs)  # (S, B, 2, L)
             s_, b_, c_, l_ = stacked.shape
             flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
             return chunked.overlap_add_weighted(flat, grid, sep.overlap,
@@ -80,12 +76,19 @@ class StreamingSeparator:
         out = acc[:, :n] / np.maximum(wsum[:n], 1e-8)[None, :]
         return out.reshape(len(self.stems), 2, -1).astype(np.float32)
 
-    def feed(self, samples: np.ndarray) -> Iterator[np.ndarray]:
-        """Append ``(2, n)`` samples; yield finalised ``(S, 2, m)`` pieces."""
+    def feed(self, samples: np.ndarray) -> list[np.ndarray]:
+        """Append ``(2, n)`` samples; return finalised ``(S, 2, m)`` pieces
+        (possibly empty).
+
+        Eager (a list, not a generator): the buffer/state mutation happens
+        on the call itself, so un-iterated or interleaved calls can never
+        silently drop or reorder audio.
+        """
         self._buf = np.concatenate(
             [self._buf, np.asarray(samples, np.float32)], axis=-1)
         block_fn = self._get_block_fn()
         advance = self.block_chunks * self.hop
+        pieces = []
         while self._buf.shape[-1] >= self._span:
             song = self._buf[:, : self._span]
             acc, wsum = block_fn(self.sep.params, jnp.asarray(song),
@@ -97,10 +100,11 @@ class StreamingSeparator:
                 acc[:, :tail] += self._acc
                 wsum[:tail] += self._wsum
             # samples >= advance still receive weight from the next block
-            yield self._emit(acc, wsum, advance)
+            pieces.append(self._emit(acc, wsum, advance))
             self._acc = acc[:, advance:]
             self._wsum = wsum[advance:]
             self._buf = self._buf[:, advance:]
+        return pieces
 
     def flush(self) -> np.ndarray:
         """Finalise the remaining buffered audio; returns ``(S, 2, m)``.

@@ -289,7 +289,10 @@ def _patch_merge(p: Params, x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
 
 def encode(p: Params, input_features: jnp.ndarray
            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, 1, T, 64) log-mel -> (last_hidden (B,768,8,32), pooled (B,768))."""
+    """(B, 1, T, 64) log-mel -> (last_hidden (B,768,2,32), pooled (B,768)).
+
+    (last_hidden freq dim = freq_shape // n_mel_groups = 8 // 4 = 2 after
+    the HTSAT re-grouping, matching transformers' ClapAudioEncoder.)"""
     bn = p["batch_norm"]
     x = input_features.transpose(0, 3, 2, 1)          # (B, 64, T, 1)
     x = (x - bn["running_mean"][None, :, None, None]) * jax.lax.rsqrt(

@@ -27,9 +27,20 @@ import numpy as np
 
 BOS, PAD, EOS = 0, 1, 2
 VOCAB_SIZE = 50265
+# RoBERTa position table is 514 rows with a 2-row offset -> 512 usable token
+# positions; HF truncates to model_max_length, and so must we (ids past the
+# table would silently gather the clamped last row on TPU).
+MAX_TOKENS = 512
+
+
+def _truncate(ids: List[int]) -> List[int]:
+    if len(ids) <= MAX_TOKENS:
+        return ids
+    return ids[: MAX_TOKENS - 1] + [EOS]
 
 
 def _pad_batch(seqs: List[List[int]]) -> Tuple[np.ndarray, np.ndarray]:
+    seqs = [_truncate(s) for s in seqs]
     max_len = max(len(s) for s in seqs)
     ids = np.full((len(seqs), max_len), PAD, np.int32)
     mask = np.zeros((len(seqs), max_len), np.int32)

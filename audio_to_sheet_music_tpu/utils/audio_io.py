@@ -36,7 +36,9 @@ def read_wav(path: str | Path) -> tuple[int, np.ndarray]:
 
     sr, data = wavfile.read(path)
     if data.dtype != np.float32:
-        if np.issubdtype(data.dtype, np.integer):
+        if data.dtype == np.uint8:      # 8-bit PCM is offset-binary
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        elif np.issubdtype(data.dtype, np.integer):
             data = data.astype(np.float32) / np.iinfo(data.dtype).max
         else:
             data = data.astype(np.float32)

@@ -67,7 +67,7 @@ def main() -> None:
                     params["htdemucs"])
             elif name == "clapsep":
                 registry["CLAPSep"] = CLAPSepModel(
-                    clap_params=params["clap"])
+                    clap_params=params["clap"], pretrained=pretrained)
         except RuntimeError as e:   # graceful skip (reference :977-980)
             print(f"skipping {name}: {e}")
 

@@ -76,6 +76,17 @@ class TestBatchLoader:
         b = next(iter(BatchLoader(ds, 4, tok, seed=7)))
         np.testing.assert_array_equal(a["stem_index"], b["stem_index"])
 
+    def test_tokenizer_truncates_to_position_table(self):
+        """Prompts longer than RoBERTa's 512 usable positions must truncate
+        (HF model_max_length behaviour) — out-of-range position ids would
+        silently gather the clamped last embedding row on TPU."""
+        from audio_to_sheet_music_tpu.text.tokenizer import EOS, MAX_TOKENS
+
+        ids, mask = HashTokenizer()([" ".join(["word"] * 1000), "drums"])
+        assert ids.shape[1] <= MAX_TOKENS
+        assert mask.shape == ids.shape
+        assert int(ids[0, -1]) == EOS     # framing preserved after truncation
+
 
 class TestTrainStep:
     def test_loss_decreases_on_overfit(self, tracks):
