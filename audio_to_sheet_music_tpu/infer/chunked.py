@@ -72,12 +72,18 @@ def plan_chunks(length: int, segment: int, overlap: int,
 
 def fade_weights(segment: int, overlap: int, dtype=jnp.float32) -> jnp.ndarray:
     """Reference OLA weights: ones with linear fade-in/out over ``overlap``
-    samples (`app.py:140-144`)."""
+    samples (`app.py:140-144`).
+
+    Composed as ``min(fade_in, fade_out)`` so ``overlap > segment/2``
+    (allowed by ``plan_chunks`` up to ``segment - 1``) degrades to a
+    continuous symmetric triangle instead of the fade-out overwriting most
+    of the fade-in with a mid-chunk weight jump; for ``overlap <=
+    segment/2`` this is bit-identical to the reference's construction."""
     w = np.ones(segment, np.float32)
     if overlap > 1:
         ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
-        w[:overlap] = ramp
-        w[segment - overlap:] = ramp[::-1]
+        w[:overlap] = np.minimum(w[:overlap], ramp)
+        w[segment - overlap:] = np.minimum(w[segment - overlap:], ramp[::-1])
     return jnp.asarray(w, dtype)
 
 

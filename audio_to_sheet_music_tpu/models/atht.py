@@ -312,6 +312,10 @@ def apply_head(params: Params, enc: Dict[str, Any],
     mag_stereo = enc["mag"][:, :2]                     # CaC re/im planes (:303)
     masked = mag_stereo * mask
     z_stereo = enc["z"][:, :2]
+    # Deliberate parity quirk: the "magnitude" here is the SIGNED CaC
+    # real/imag planes, so a coefficient near -1e-8 makes this denominator
+    # ~0 (reference `ATHTDemucs_v2.py:307-309` divides identically; the
+    # checkpoint was trained through it, so we keep the exact algebra).
     phase = z_stereo / (mag_stereo + 1e-8)
     masked_z = masked * phase
     freq_wav = dsp.ispec(masked_z, original_length, htdemucs.NFFT, htdemucs.HOP)

@@ -30,8 +30,9 @@ def mha_init(key, embed_dim: int, kdim: int | None = None,
     vdim = vdim or embed_dim
     assert kdim == embed_dim and vdim == embed_dim, "packed layout only"
     k1, k2, k3 = jax.random.split(key, 3)
-    # torch uses xavier_uniform_ for in_proj_weight
-    bound = math.sqrt(6.0 / (embed_dim + embed_dim))
+    # torch applies xavier_uniform_ to the PACKED (3E, E) tensor, so
+    # fan_in + fan_out = 3E + E (verified vs nn.MultiheadAttention(384))
+    bound = math.sqrt(6.0 / (4.0 * embed_dim))
     return {
         "in_proj_weight": _uniform(k1, (3 * embed_dim, embed_dim), bound),
         "in_proj_bias": jnp.zeros((3 * embed_dim,), jnp.float32),

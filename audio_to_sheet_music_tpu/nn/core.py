@@ -106,7 +106,9 @@ def conv2d(p: Params, x: jnp.ndarray, stride=(1, 1), padding=(0, 0),
 
 def conv_transpose1d_init(key, in_ch, out_ch, kernel, bias=True) -> Params:
     kw, kb = jax.random.split(key)
-    bound = 1.0 / math.sqrt(in_ch * kernel)
+    # torch ConvTranspose fan_in = weight.size(1) * kernel = OUT_ch * k
+    # (the (in, out, k) layout's dim 1), not in_ch * k as for Conv
+    bound = 1.0 / math.sqrt(out_ch * kernel)
     p = {"weight": _uniform(kw, (in_ch, out_ch, kernel), bound)}
     if bias:
         p["bias"] = _uniform(kb, (out_ch,), bound)
@@ -184,7 +186,8 @@ def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int = 1,
 def conv_transpose2d_init(key, in_ch, out_ch, kernel: Sequence[int], bias=True) -> Params:
     kw, kb = jax.random.split(key)
     kh, kw_ = kernel
-    bound = 1.0 / math.sqrt(in_ch * kh * kw_)
+    # torch ConvTranspose fan_in = out_ch * receptive field (see 1d init)
+    bound = 1.0 / math.sqrt(out_ch * kh * kw_)
     p = {"weight": _uniform(kw, (in_ch, out_ch, kh, kw_), bound)}
     if bias:
         p["bias"] = _uniform(kb, (out_ch,), bound)
@@ -215,6 +218,8 @@ def conv_transpose2d(p: Params, x: jnp.ndarray, stride=(1, 1),
         z = z.reshape(b, o_ch, sh * a_len, wdt)
         out_h = (x.shape[2] - 1) * sh - 2 * padding[0] + kh
         y = z[:, :, padding[0] : padding[0] + out_h, :]
+        if padding[1]:   # kw=1, sw=1: torch out_w = W - 2*pw (crop)
+            y = y[:, :, :, padding[1] : wdt - padding[1]]
     else:
         wf = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # (O, I, KH, KW)
         y = jax.lax.conv_general_dilated(

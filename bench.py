@@ -70,9 +70,8 @@ def main() -> None:
     np.asarray(probe)
     bw1 = probe.nbytes / (time.perf_counter() - t0) / 1e6
     probe = probe + 1                                       # fresh buffer
-    from audio_to_sheet_music_tpu.infer.session import Separator as _S
     t0 = time.perf_counter()
-    _S._fetch_array(probe, nsplit=4)
+    Separator._fetch_array(probe, nsplit=4)
     bw4 = probe.nbytes / (time.perf_counter() - t0) / 1e6
     print(f"tunnel D2H: {bw1:.0f} MB/s single-stream, "
           f"{bw4:.0f} MB/s 4-stream aggregate", file=sys.stderr)

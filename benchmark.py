@@ -55,6 +55,9 @@ def main() -> None:
 
     params, pretrained = atht.load_params(args.checkpoint,
                                           jax.random.PRNGKey(0))
+    if not pretrained:
+        print("benchmark: no converted checkpoint loaded — models run with "
+              "random/npz weights; scores are NOT pretrained-baseline numbers")
 
     registry = {}
     for name in args.models:

@@ -230,3 +230,41 @@ class TestSubpixelConvTranspose:
                 torch.tensor(x), torch.tensor(w), stride=s,
                 padding=pad).numpy()
             np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"k={k}")
+
+
+def test_conv_transpose_init_matches_torch_fan_in():
+    """torch ConvTranspose fan_in = out_ch * receptive field (weight dim 1),
+    not in_ch * k — random-init training parity for the decoders."""
+    import math
+
+    import jax
+
+    p = jnn.conv_transpose1d_init(jax.random.PRNGKey(0), 384, 192, 8)
+    bound = 1.0 / math.sqrt(192 * 8)
+    m = float(jnp.abs(p["weight"]).max())
+    assert 0.9 * bound < m <= bound
+    ref = torch.nn.ConvTranspose1d(384, 192, 8)
+    assert abs(float(ref.weight.abs().max()) - m) < 0.2 * bound
+
+    from audio_to_sheet_music_tpu.nn.attention import mha_init
+    pa = mha_init(jax.random.PRNGKey(1), 384)
+    bound_x = math.sqrt(6.0 / (4 * 384))
+    mx = float(jnp.abs(pa["in_proj_weight"]).max())
+    assert 0.9 * bound_x < mx <= bound_x
+    tref = torch.nn.MultiheadAttention(384, 8)
+    assert abs(float(tref.in_proj_weight.abs().max()) - mx) < 0.2 * bound_x
+
+
+def test_conv_transpose2d_width_padding_fast_path():
+    """The (K,1)-kernel sub-pixel fast path must honor padding[1] like
+    torch (out_w = W - 2*pw when kw == 1, sw == 1)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 2, 64, 10)).astype(np.float32)
+    m = torch.nn.ConvTranspose2d(2, 2, (8, 1), stride=(4, 1), padding=(2, 1))
+    p = {"weight": jnp.asarray(m.weight.detach().numpy()),
+         "bias": jnp.asarray(m.bias.detach().numpy())}
+    ours = np.asarray(jnn.conv_transpose2d(p, jnp.asarray(x),
+                                           stride=(4, 1), padding=(2, 1)))
+    ref = m(torch.from_numpy(x)).detach().numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
