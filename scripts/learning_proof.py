@@ -3,9 +3,11 @@ then measure eval SDR before/after through the benchmark harness.
 
     python scripts/learning_proof.py
 
-Recorded run on the real TPU v5e (2026-08-16, random-init towers, held-out
-test track): eval SDR -2.88 -> +6.58 dB (+9.45 dB) after 240 train steps at
-~0.64 steps/s wall (incl. host data loading on the 1-core host).
+Recorded run on the real TPU v5e (2026-08-17, random-init towers with the
+torch-parity init bounds, held-out test track): eval SDR -4.37 -> +6.10 dB
+(**+10.47 dB**) after 240 train steps at ~0.86 steps/s wall (incl. host
+data loading on the 1-core host). Previous run (pre-parity init,
+2026-08-16): +9.45 dB.
 """
 import sys, time
 import pathlib
