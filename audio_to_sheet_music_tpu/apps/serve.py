@@ -22,16 +22,28 @@ import numpy as np
 SAMPLE_RATE = 44100
 
 
-def build_separator(checkpoint: str | None):
+def build_separator(checkpoint: str | None, config: str | None = None):
+    """App-protocol separator (reference `app.py:33,49-67`): segment/overlap
+    come from the config's ``data`` section (0.1 s overlap default,
+    app.py:133-139), the checkpoint defaults to ``training.resume_from``,
+    and CLAP text features are normalised (ClapModel path, app.py:53)."""
     import jax
 
     from ..infer import Separator
     from ..models import atht
 
+    segment_s, overlap_s = 6.0, 0.1
+    if config and Path(config).exists():
+        from ..config import Config
+
+        cfg = Config.from_yaml(config)
+        segment_s = cfg.data.segment_seconds
+        overlap_s = cfg.data.overlap
+        if checkpoint is None and cfg.training.resume_from:
+            checkpoint = cfg.training.resume_from
     params, pretrained = atht.load_params(checkpoint, jax.random.PRNGKey(0))
-    # App protocol: 6 s chunks, 0.1 s overlap (reference app.py:133-139),
-    # normalised CLAP text features (ClapModel path, app.py:53).
-    return Separator(params, segment_seconds=6.0, overlap_seconds=0.1,
+    return Separator(params, segment_seconds=segment_s,
+                     overlap_seconds=overlap_s,
                      normalize_text=True, pretrained=pretrained)
 
 
@@ -122,6 +134,9 @@ def create_demo(separator):
 def main() -> None:
     ap = argparse.ArgumentParser(description="Serve the separation demo")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--config", default="config.yaml",
+                    help="YAML config for segment/overlap and the default "
+                         "checkpoint (reference app.py loads the same keys)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7860)
     args = ap.parse_args()
@@ -130,7 +145,7 @@ def main() -> None:
     except ImportError as e:
         raise SystemExit("gradio is not installed in this environment; "
                          "install it to serve the demo") from e
-    sep = build_separator(args.checkpoint)
+    sep = build_separator(args.checkpoint, args.config)
     create_demo(sep).launch(server_name=args.host, server_port=args.port)
 
 

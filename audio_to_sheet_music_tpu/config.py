@@ -22,13 +22,22 @@ def load_config(path: str | Path) -> dict:
         return yaml.safe_load(f)
 
 
-def _get(cfg: Mapping[str, Any], path: str, default: Any) -> Any:
+def _get(cfg: Mapping[str, Any], path: str, default: Any,
+         allow_none: bool = False) -> Any:
+    """Dotted-path lookup; missing keys -> ``default``.
+
+    An explicit YAML ``null`` also maps to ``default`` unless
+    ``allow_none=True`` (needed where null is meaningful, e.g.
+    ``grad_clip: null`` disables clipping per the reference config's
+    comment)."""
     node: Any = cfg
     for key in path.split("."):
         if not isinstance(node, Mapping) or key not in node:
             return default
         node = node[key]
-    return default if node is None else node
+    if node is None:
+        return None if allow_none else default
+    return node
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,7 +138,8 @@ class Config:
             use_amp=bool(_get(cfg, "model.use_amp", False)),
             compute_dtype=_get(cfg, "model.compute_dtype", "bfloat16"),
         )
-        grad_clip = _get(cfg, "training.optimizer.grad_clip", 5.0)
+        grad_clip = _get(cfg, "training.optimizer.grad_clip", 5.0,
+                         allow_none=True)
         o = OptimizerConfig(
             name=_get(cfg, "training.optimizer.name", "AdamW"),
             lr=float(_get(cfg, "training.optimizer.lr", 1e-4)),
@@ -141,8 +151,14 @@ class Config:
             num_workers=int(_get(cfg, "training.num_workers", 0)),
             num_epochs=int(_get(cfg, "training.num_epochs", 20)),
             optimizer=o,
-            sdr_weight=float(_get(cfg, "training.loss_weights.sdr", 0.9)),
-            sisdr_weight=float(_get(cfg, "training.loss_weights.sisdr_weight", 0.1)),
+            # the reference schema's own (asymmetric) key names, with the
+            # symmetric spellings accepted as aliases
+            sdr_weight=float(_get(cfg, "training.loss_weights.sdr",
+                                  _get(cfg, "training.loss_weights.sdr_weight",
+                                       0.9))),
+            sisdr_weight=float(_get(cfg, "training.loss_weights.sisdr_weight",
+                                    _get(cfg, "training.loss_weights.sisdr",
+                                         0.1))),
             use_L1_comb_loss=bool(_get(cfg, "training.use_L1_comb_loss", False)),
             l1_sdr_weight=float(_get(cfg, "training.L1_comb_loss.sdr_weight", 1.0)),
             l1_weight=float(_get(cfg, "training.L1_comb_loss.l1_weight", 0.1)),

@@ -37,10 +37,17 @@ def _load_lib():
             return _lib
         try:
             if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+                # compile to a per-process temp path and os.replace (atomic)
+                # so a concurrent first use in another process never dlopens
+                # a half-written library
+                import os
+
+                tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-pthread", str(_SRC), "-o", str(_LIB)],
+                     "-pthread", str(_SRC), "-o", str(tmp)],
                     check=True, capture_output=True, text=True)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(str(_LIB))
             lib.sl_create.restype = ctypes.c_void_p
             lib.sl_create.argtypes = [

@@ -43,8 +43,10 @@ class StreamingSeparator:
         self.stems = list(stems)
         self.block_chunks = block_chunks
         self.segment = separator.segment
-        self.hop = separator.segment - separator.overlap
-        self.overlap = separator.overlap
+        # same clamp as plan_chunks: overlap >= segment would make hop <= 0
+        # and feed() would never drain its buffer
+        self.overlap = min(separator.overlap, self.segment - 1)
+        self.hop = self.segment - self.overlap
         self._embs = jnp.stack([separator.text_embedding(s) for s in stems])
         self._buf = np.zeros((2, 0), np.float32)     # pending input samples
         self._acc = None                              # carry: (S*2, tail)
@@ -86,25 +88,35 @@ class StreamingSeparator:
         """
         self._buf = np.concatenate(
             [self._buf, np.asarray(samples, np.float32)], axis=-1)
-        block_fn = self._get_block_fn()
         advance = self.block_chunks * self.hop
         pieces = []
         while self._buf.shape[-1] >= self._span:
-            song = self._buf[:, : self._span]
-            acc, wsum = block_fn(self.sep.params, jnp.asarray(song),
-                                 self._embs)
-            acc = np.array(acc, np.float32)
-            wsum = np.array(wsum, np.float32)
-            if self._acc is not None:
-                tail = self._acc.shape[-1]
-                acc[:, :tail] += self._acc
-                wsum[:tail] += self._wsum
+            acc, wsum = self._run_block(self._buf[:, : self._span])
             # samples >= advance still receive weight from the next block
-            pieces.append(self._emit(acc, wsum, advance))
-            self._acc = acc[:, advance:]
-            self._wsum = wsum[advance:]
-            self._buf = self._buf[:, advance:]
+            pieces.append(self._slide(acc, wsum, advance))
         return pieces
+
+    def _run_block(self, song: np.ndarray):
+        """One block program + carry-in -> host ``(acc, wsum)`` (the single
+        home of the carry recurrence, shared by feed and flush)."""
+        acc, wsum = self._get_block_fn()(self.sep.params, jnp.asarray(song),
+                                         self._embs)
+        acc = np.array(acc, np.float32)
+        wsum = np.array(wsum, np.float32)
+        if self._acc is not None:
+            tail = self._acc.shape[-1]
+            acc[:, :tail] += self._acc
+            wsum[:tail] += self._wsum
+        return acc, wsum
+
+    def _slide(self, acc, wsum, advance: int) -> np.ndarray:
+        """Emit ``advance`` finalised samples, carry the rest, drop the
+        consumed input."""
+        piece = self._emit(acc, wsum, advance)
+        self._acc = acc[:, advance:]
+        self._wsum = wsum[advance:]
+        self._buf = self._buf[:, advance:]
+        return piece
 
     def flush(self) -> np.ndarray:
         """Finalise the remaining buffered audio; returns ``(S, 2, m)``.
@@ -113,7 +125,6 @@ class StreamingSeparator:
         (matching the offline valid-chunk rule), so short tails may span
         several zero-padded blocks.
         """
-        block_fn = self._get_block_fn()
         advance = self.block_chunks * self.hop
         pieces = []
         while self._buf.shape[-1] > 0:
@@ -121,24 +132,14 @@ class StreamingSeparator:
             song = np.zeros((2, self._span), np.float32)
             take = min(n, self._span)
             song[:, :take] = self._buf[:, :take]
-            acc, wsum = block_fn(self.sep.params, jnp.asarray(song),
-                                 self._embs)
-            acc = np.array(acc, np.float32)
-            wsum = np.array(wsum, np.float32)
-            if self._acc is not None:
-                tail = self._acc.shape[-1]
-                acc[:, :tail] += self._acc
-                wsum[:tail] += self._wsum
+            acc, wsum = self._run_block(song)
             n_chunks_needed = (n - 1) // self.hop + 1   # chunk starts < n
             if n_chunks_needed <= self.block_chunks:
                 pieces.append(self._emit(acc, wsum, n))
                 self._buf = np.zeros((2, 0), np.float32)
                 self._acc = self._wsum = None
                 break
-            pieces.append(self._emit(acc, wsum, advance))
-            self._acc = acc[:, advance:]
-            self._wsum = wsum[advance:]
-            self._buf = self._buf[:, advance:]
+            pieces.append(self._slide(acc, wsum, advance))
         if not pieces and self._acc is not None:
             pieces.append(self._emit(self._acc, self._wsum,
                                      self._acc.shape[-1]))

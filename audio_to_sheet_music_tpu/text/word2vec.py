@@ -60,10 +60,16 @@ def _tokenize(text: str) -> List[str]:
 class Word2Vec:
     """Minimal KeyedVectors-compatible container (`in`, ``[]``)."""
 
-    def __init__(self, vectors: Dict[str, np.ndarray], backend: str = "native"):
+    def __init__(self, vectors, backend: str = "native"):
+        """``vectors``: any ``in``/``[]`` mapping of word -> vector — a
+        plain dict or a gensim ``KeyedVectors`` (kept as-is; copying e.g.
+        word2vec-google-news-300 into a dict would double its ~3.6 GB)."""
         self.vectors = vectors
         self.backend = backend
-        self.dim = len(next(iter(vectors.values())))
+        if hasattr(vectors, "vector_size"):          # gensim KeyedVectors
+            self.dim = int(vectors.vector_size)
+        else:
+            self.dim = len(next(iter(vectors.values())))
 
     def __contains__(self, word: str) -> bool:
         return word in self.vectors
@@ -139,8 +145,7 @@ def load_or_train(dim: int = 64) -> Word2Vec:
             from gensim.models import KeyedVectors
 
             kv = KeyedVectors.load(path)
-            return Word2Vec({w: np.asarray(kv[w]) for w in kv.key_to_index},
-                            backend="gensim")
+            return Word2Vec(kv, backend="gensim")
         except Exception as e:  # noqa: BLE001 — fall back, note why
             print(f"gensim vectors unavailable ({e}); training native w2v")
     return Word2Vec.train(MUSIC_CORPUS, dim=dim)

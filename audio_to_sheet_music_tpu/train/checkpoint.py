@@ -13,6 +13,7 @@ artifact), which shrinks a save from ~680 MB to ~35 MB.
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Tuple
 
@@ -50,9 +51,16 @@ def save_checkpoint(ckpt_dir: str | Path, state, epoch: int,
         targets.append(ckpt_dir / "best")
     if every and (epoch + 1) % every == 0:
         targets.append(ckpt_dir / f"epoch_{epoch:04d}")
-    for t in targets:
-        _save_tree(t, tree)
-        (t / "meta.json").write_text(json.dumps(meta))
+    # serialise the (device-resident) state ONCE, then copy the files for
+    # the other targets — re-serialising fetches the whole tree over the
+    # device link per target
+    first = targets[0]
+    _save_tree(first, tree)
+    (first / "meta.json").write_text(json.dumps(meta))
+    for t in targets[1:]:
+        if t.exists():
+            shutil.rmtree(t)
+        shutil.copytree(first, t)
 
 
 def load_checkpoint(path: str | Path, state_template) -> Tuple[Any, int, Dict]:

@@ -109,8 +109,8 @@ def make_train_step(
 
 def make_eval_step(loss_cfg: Mapping[str, Any] | None = None,
                    compute_dtype=jnp.bfloat16):
-    """No-grad validation step returning loss metrics + per-item SDR and the
-    stem index so the caller can bucket per-stem SDR (reference
+    """No-grad validation step -> ``(metrics, per_item_sdr)``; the caller
+    buckets per-stem SDR with the host batch's ``stem_index`` (reference
     `src/train.py:185-190`)."""
     loss_cfg = dict(loss_cfg or {})
 

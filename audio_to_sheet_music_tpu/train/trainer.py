@@ -173,7 +173,18 @@ def train(cfg: Config, params=None, mesh=None,
 
     ckpt_dir = Path(cfg.wandb.checkpoint_dir)
     start_epoch, best_sdr = 0, -np.inf
-    latest = ckpt.latest_checkpoint(ckpt_dir)
+    # resume precedence (reference src/train.py:496-508): an explicit
+    # training.resume_from Orbax directory wins over checkpoint_dir/latest
+    # (.pt resume_from was consumed above as converted params)
+    resume = cfg.training.resume_from
+    latest = None
+    if resume and Path(resume).suffix != ".pt":
+        if not Path(resume).exists():
+            raise FileNotFoundError(
+                f"training.resume_from points at missing checkpoint: {resume}")
+        latest = Path(resume)
+    if latest is None:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
     if latest is not None:  # auto-resume (reference src/train.py:503-508)
         state, epoch, metrics = ckpt.load_checkpoint(latest, state)
         start_epoch = epoch + 1

@@ -78,3 +78,25 @@ class TestClapSimilarity:
         la, lt = jax.jit(clap.similarity)(params, ids, mask, feats)
         assert la.shape == (3, 2) and lt.shape == (2, 3)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lt).T, atol=1e-4)
+
+
+class TestConfigParsing:
+    def test_grad_clip_null_disables_clipping(self):
+        """config.yaml's documented 'set to null to disable' must survive
+        parsing (an explicit null is NOT a missing key)."""
+        cfg = Config.from_dict(
+            {"training": {"optimizer": {"grad_clip": None}}})
+        assert cfg.training.optimizer.grad_clip is None
+        # missing key keeps the reference default
+        assert Config.from_dict({}).training.optimizer.grad_clip == 5.0
+
+    def test_loss_weight_key_aliases(self):
+        """Reference schema spells the keys asymmetrically
+        (loss_weights.sdr / loss_weights.sisdr_weight); symmetric spellings
+        are accepted as aliases."""
+        ref = Config.from_dict(
+            {"training": {"loss_weights": {"sdr": 0.7, "sisdr_weight": 0.3}}})
+        assert (ref.training.sdr_weight, ref.training.sisdr_weight) == (0.7, 0.3)
+        alias = Config.from_dict(
+            {"training": {"loss_weights": {"sdr_weight": 0.6, "sisdr": 0.4}}})
+        assert (alias.training.sdr_weight, alias.training.sisdr_weight) == (0.6, 0.4)
