@@ -30,3 +30,24 @@ class TestMeshSeparator:
         a = single.separate(song, "vocals")
         b = sharded.separate(song, "vocals")
         np.testing.assert_allclose(a[:, 1:-1], b[:, 1:-1], atol=2e-3)
+
+    def test_mesh_pipelined_pcm_matches_fused(self, params):
+        """The group-pipelined PCM path with the chunk axis sharded over
+        the mesh (groups rounded up to the device count, no half-size
+        first group) must match the unsharded fused sweep."""
+        mesh = make_mesh()
+        sep = Separator(params, mesh=mesh, segment_seconds=0.25,
+                        overlap_seconds=0.05, compute_dtype=jnp.float32)
+        plain = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                          compute_dtype=jnp.float32)
+        rng = np.random.default_rng(4)
+        song = (0.1 * rng.standard_normal((2, 90000))).astype(np.float32)
+        pcm, scales = sep.separate_all_pcm(song, stems=("drums", "vocals"))
+        assert pcm.shape == (2, 2, 90000)
+        dq = pcm.astype(np.float32) * (scales[:, None, None] / 32767.0)
+        ref = plain.separate_all(song, stems=("drums", "vocals"))
+        atol = 2e-3 + 1.5 * scales.max() / 32767
+        np.testing.assert_allclose(dq[0][:, 1:-1], ref["drums"][:, 1:-1],
+                                   atol=atol)
+        np.testing.assert_allclose(dq[1][:, 1:-1], ref["vocals"][:, 1:-1],
+                                   atol=atol)
