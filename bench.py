@@ -76,10 +76,10 @@ def main() -> None:
     print(f"tunnel D2H: {bw1:.0f} MB/s single-stream, "
           f"{bw4:.0f} MB/s 4-stream aggregate", file=sys.stderr)
 
-    # Best of 3: the TPU tunnel's device<->host throughput is noisy; the
+    # Best of 5: the TPU tunnel's device<->host throughput is noisy; the
     # best run reflects device capability rather than tunnel weather.
     times = []
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         pcm, scales = sep.separate_all_pcm(song)
         assert pcm.dtype == np.int16 and pcm.shape[0] == len(STEM_NAMES)
