@@ -139,6 +139,11 @@ def main() -> None:
                          "checkpoint (reference app.py loads the same keys)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--warmup-seconds", type=float, default=60.0,
+                    help="pre-compile the sweep for this song length's "
+                         "chunk-grid bucket at startup (other buckets still "
+                         "compile on first use, cached persistently; 0 "
+                         "disables)")
     args = ap.parse_args()
     try:
         import gradio  # noqa: F401
@@ -146,6 +151,12 @@ def main() -> None:
         raise SystemExit("gradio is not installed in this environment; "
                          "install it to serve the demo") from e
     sep = build_separator(args.checkpoint, args.config)
+    if args.warmup_seconds > 0:
+        t = int(args.warmup_seconds * SAMPLE_RATE)
+        print(f"warming the sweep for <= {args.warmup_seconds:.0f} s songs "
+              "(first compile can take minutes; cached afterwards)...")
+        sep.separate(np.zeros((2, t), np.float32), "vocals")
+        print("warmup done")
     create_demo(sep).launch(server_name=args.host, server_port=args.port)
 
 
