@@ -54,9 +54,14 @@ def mha(p: Params, query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray,
     e = query.shape[-1]
     w = p["in_proj_weight"].astype(query.dtype)
     b = p["in_proj_bias"].astype(query.dtype)
-    q = query @ w[:e].T + b[:e]
-    k = key @ w[e : 2 * e].T + b[e : 2 * e]
-    v = value @ w[2 * e :].T + b[2 * e :]
+    if key is query and value is query:
+        # self-attention: one packed (E, 3E) matmul reads the input once
+        qkv = query @ w.T + b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = query @ w[:e].T + b[:e]
+        k = key @ w[e : 2 * e].T + b[e : 2 * e]
+        v = value @ w[2 * e :].T + b[2 * e :]
 
     qh = _heads(q, num_heads)
     kh = _heads(k, num_heads)
