@@ -40,7 +40,14 @@ def build_separator(checkpoint: str | None, config: str | None = None):
         segment_s = cfg.data.segment_seconds
         overlap_s = cfg.data.overlap
         if checkpoint is None and cfg.training.resume_from:
-            checkpoint = cfg.training.resume_from
+            if Path(cfg.training.resume_from).exists():
+                checkpoint = cfg.training.resume_from
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"training.resume_from={cfg.training.resume_from!r} "
+                    "does not exist; serving with random-init head")
     params, pretrained = atht.load_params(checkpoint, jax.random.PRNGKey(0))
     return Separator(params, segment_seconds=segment_s,
                      overlap_seconds=overlap_s,

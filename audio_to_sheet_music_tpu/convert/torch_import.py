@@ -218,6 +218,14 @@ def export_atht_checkpoint(params, path: str, epoch: int = 0,
         else:
             k = "clap." + k                    # text_projection.*
         state[k] = v
+    # HF registers position/token-type ids as persistent BUFFERS, so a
+    # reference-side `load_state_dict(strict=True)` requires them; they are
+    # deterministic constants sized by the embedding tables.
+    n_pos = state["clap.text_model.embeddings.position_embeddings.weight"].shape[0]
+    state["clap.text_model.embeddings.position_ids"] = \
+        np.arange(n_pos, dtype=np.int64)[None]
+    state["clap.text_model.embeddings.token_type_ids"] = \
+        np.zeros((1, n_pos), np.int64)
     state.update(export_torch_names(params["head"]))
     torch.save({"epoch": int(epoch),
                 "model_state_dict": {k: torch.tensor(np.asarray(v))

@@ -240,7 +240,14 @@ class BatchLoader:
                         break
                     except queue.Full:
                         continue
-            q.put(None)
+            # sentinel must also be abortable: the consumer may abandon the
+            # iterator after the final batch while the queue is full
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -294,6 +294,9 @@ class Separator:
                 span = (gi - 1) * hop + seg
                 advance = gi * hop
                 fn = self._get_group_fn(gi, seg, hop, n_stems)
+                take = min(advance, length - start)
+                if take <= 0:    # schedule over-covers: nothing left to emit
+                    break
                 piece = song[:, start : start + span]
                 if piece.shape[-1] < span:   # zero-pad the last group(s)
                     piece = np.pad(piece,
@@ -302,9 +305,6 @@ class Separator:
                     self.params, jnp.asarray(piece), embs, scale_arr,
                     jnp.asarray(start, jnp.int32), length_arr,
                     carry_acc, carry_w)
-                take = min(advance, length - start)
-                if take <= 0:
-                    break
                 # fetch in workers so transfers overlap later groups' compute
                 # and uploads — split into row-slice streams: the tunnel's
                 # D2H is per-stream limited (~13-21 MB/s single stream vs

@@ -68,7 +68,7 @@ class StreamingSeparator:
             stacked = atht.apply_head_multi(params, enc, embs)  # (S, B, 2, L)
             s_, b_, c_, l_ = stacked.shape
             flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
-            return chunked.overlap_add_weighted(flat, grid, sep.overlap,
+            return chunked.overlap_add_weighted(flat, grid, self.overlap,
                                                 normalize=False)
 
         self._block_fn = jax.jit(block)

@@ -203,8 +203,13 @@ def load_params(checkpoint: str | None, key=None) -> Tuple[Params, bool]:
     ``.pt`` paths import a reference torch checkpoint (converted weights ->
     ``pretrained=True``, which makes ``Separator`` refuse the hash-tokenizer
     fallback); ``.npz`` paths load framework-native checkpoints over the
-    env-selected template; no checkpoint -> random init.
+    env-selected template; a *directory* is an Orbax train-state save (as
+    written by ``train.checkpoint.save_checkpoint`` / ``config.yaml``'s
+    ``resume_from``) — its head is grafted onto the template; no
+    checkpoint -> random init.
     """
+    import os
+
     if key is None:
         key = jax.random.PRNGKey(0)
     if checkpoint and str(checkpoint).endswith(".pt"):
@@ -213,9 +218,14 @@ def load_params(checkpoint: str | None, key=None) -> Tuple[Params, bool]:
         return import_atht_checkpoint(checkpoint, strict=False), True
     params = init_from_env(key)
     if checkpoint:
-        from ..train.checkpoint import load_params_npz
+        if os.path.isdir(str(checkpoint)):
+            from ..train.checkpoint import load_head_params
 
-        params = load_params_npz(checkpoint, params)
+            params = load_head_params(checkpoint, params)
+        else:
+            from ..train.checkpoint import load_params_npz
+
+            params = load_params_npz(checkpoint, params)
     return params, False
 
 

@@ -74,6 +74,40 @@ def load_checkpoint(path: str | Path, state_template) -> Tuple[Any, int, Dict]:
     return tree["state"], int(meta.get("epoch", -1)), meta.get("metrics", {})
 
 
+def load_head_params(path: str | Path, params: Any) -> Any:
+    """Graft the trainable head from an Orbax train-state checkpoint dir
+    onto a full param tree (for serving/inference: the frozen towers come
+    from the converted-weights artifact, the head from training).
+
+    Accepts either a save directory (``.../latest``) or a checkpoint root
+    containing one.  The restore is template-free (the optimiser state's
+    structure is unknown without the optimiser), so the head subtree is
+    reshaped onto ``params['head']``'s structure leaf-by-leaf.
+    """
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    path = Path(path)
+    if not (path / "_CHECKPOINT_METADATA").exists() and \
+            (path / "latest").exists():
+        path = path / "latest"
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(path.resolve())
+    head = raw["state"]["head"]
+    template = params["head"]
+    flat_saved = jax.tree.leaves(head)
+    treedef = jax.tree.structure(template)
+    if len(flat_saved) != treedef.num_leaves:
+        raise ValueError(
+            f"checkpoint head has {len(flat_saved)} arrays, model head "
+            f"expects {treedef.num_leaves} — architecture mismatch")
+    new_head = jax.tree.unflatten(
+        treedef, [jnp.asarray(a) for a in flat_saved])
+    out = dict(params)
+    out["head"] = new_head
+    return out
+
+
 def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     """Auto-resume hook: the ``latest`` dir if present (reference
     `src/train.py:503-508`)."""

@@ -89,11 +89,18 @@ def main() -> None:
 
     audio_sec = SONG_SECONDS * len(STEM_NAMES)
     value = audio_sec / elapsed
+    # Headline = best of 5 (device capability; the spread is tunnel D2H
+    # weather, README "variance model"), with the full evidence alongside:
+    # median, every run, and the measured tunnel bandwidths this session.
     print(json.dumps({
         "metric": "4stem_separation_throughput",
         "value": round(value, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / TARGET_REALTIME, 3),
+        "median": round(audio_sec / float(np.median(times)), 2),
+        "runs_sec": [round(t, 3) for t in times],
+        "d2h_single_MBps": round(bw1, 1),
+        "d2h_multi_MBps": round(bw4, 1),
     }))
 
 
