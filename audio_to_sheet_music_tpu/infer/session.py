@@ -263,21 +263,8 @@ class Separator:
 
         grid = chunked.plan_chunks(length, self.segment, self.overlap,
                                    self.bucket)
-        g = max(1, min(group_chunks, grid.n_chunks))
-        if self.mesh is not None:    # group = the sharded chunk axis
-            d = self.mesh.devices.size
-            g = -(-g // d) * d
+        schedule = self._group_schedule(grid, group_chunks)
         hop, seg = grid.hop, grid.segment
-
-        # Group schedule: a half-size first group cuts the pipeline-fill
-        # latency (the host link idles until the first group's PCM is ready),
-        # then full groups. The carry shape (overlap samples) is group-size
-        # independent, so differently-sized group programs chain freely.
-        schedule = []
-        if self.mesh is None and grid.n_chunks > g and g >= 2:
-            schedule.append(g // 2)
-        left = grid.n_chunks - sum(schedule)
-        schedule += [g] * max(0, -(-left // g))
         total_advance = sum(schedule) * hop
 
         embs = jnp.stack([self.text_embedding(s) for s in stems])
@@ -318,6 +305,27 @@ class Separator:
                 f.result()
         scales = np.full((n_stems,), scale, np.float32)
         return pcm.reshape(n_stems, 2, -1)[:, :, :length], scales
+
+    def _group_schedule(self, grid: chunked.ChunkGrid,
+                        group_chunks: int) -> list[int]:
+        """Group sizes for the pipelined PCM sweep.
+
+        A half-size first group cuts the pipeline-fill latency (the host
+        link idles until the first group's PCM is ready), then full groups.
+        The carry shape (overlap samples) is group-size independent, so
+        differently-sized group programs chain freely.  On a mesh the group
+        is the sharded chunk axis, so it rounds up to the device count.
+        """
+        g = max(1, min(group_chunks, grid.n_chunks))
+        if self.mesh is not None:
+            d = self.mesh.devices.size
+            g = -(-g // d) * d
+        schedule = []
+        if self.mesh is None and grid.n_chunks > g and g >= 2:
+            schedule.append(g // 2)
+        left = grid.n_chunks - sum(schedule)
+        schedule += [g] * max(0, -(-left // g))
+        return schedule
 
     @staticmethod
     def _fetch_into(out: np.ndarray, row: int, start: int, src) -> None:
@@ -386,3 +394,35 @@ class Separator:
         fn = jax.jit(group_fn)
         self._sweep_cache[key] = fn
         return fn
+
+    def sweep_flops(self, length: int, n_stems: int = len(STEM_NAMES),
+                    group_chunks: int = 4,
+                    song_dtype=np.int16) -> float:
+        """XLA cost-analysis FLOPs of the full ``separate_all_pcm`` schedule
+        for an ``length``-sample song (sum over the group programs actually
+        dispatched).  Used by ``bench.py``/profilers for MFU reporting."""
+        grid = chunked.plan_chunks(length, self.segment, self.overlap,
+                                   self.bucket)
+        schedule = self._group_schedule(grid, group_chunks)
+        hop, seg = grid.hop, grid.segment
+
+        total, start = 0.0, 0
+        for gi in schedule:
+            if length - start <= 0:
+                break
+            span = (gi - 1) * hop + seg
+            fn = self._get_group_fn(gi, seg, hop, n_stems)
+            s = jax.ShapeDtypeStruct
+            args = (jax.tree.map(
+                        lambda a: s(np.shape(a), a.dtype), self.params),
+                    s((2, span), np.dtype(song_dtype)),
+                    s((n_stems, 512), np.float32),
+                    s((), np.float32), s((), np.int32), s((), np.int32),
+                    s((n_stems * 2, seg - hop), np.float32),
+                    s((seg - hop,), np.float32))
+            analysis = fn.lower(*args).compile().cost_analysis()
+            if isinstance(analysis, list):
+                analysis = analysis[0]
+            total += float(analysis.get("flops", 0.0)) if analysis else 0.0
+            start += gi * hop
+        return total

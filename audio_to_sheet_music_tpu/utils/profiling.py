@@ -64,3 +64,14 @@ def flops_estimate(fn: Callable, *args) -> float:
     if isinstance(analysis, list):
         analysis = analysis[0]
     return float(analysis.get("flops", -1.0)) if analysis else -1.0
+
+
+def peak_tflops() -> float:
+    """The MFU denominator: the chip's peak dense-matmul TFLOP/s.
+
+    Default 197 (TPU v5e bf16 — the compute dtype of the serving/train
+    path); override with ``ATSM_PEAK_TFLOPS`` for other chips/dtypes.
+    """
+    import os
+
+    return float(os.environ.get("ATSM_PEAK_TFLOPS", "197"))

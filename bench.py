@@ -87,6 +87,21 @@ def main() -> None:
     print(f"runs: {[round(t, 2) for t in times]}s", file=sys.stderr)
     elapsed = min(times)
 
+    # MFU diagnostic (VERDICT r2 #1): XLA cost-analysis FLOPs of the full
+    # dispatched schedule vs wall-clock.  End-to-end MFU includes the D2H
+    # transfer term; the compute-bound ceiling lives in
+    # scripts/profile_forward.py / docs/PERFORMANCE.md.
+    try:
+        from audio_to_sheet_music_tpu.utils.profiling import peak_tflops
+
+        fl = sep.sweep_flops(t)
+        tfs = fl / elapsed / 1e12
+        print(f"sweep flops: {fl/1e9:.1f} GFLOP -> {tfs:.2f} TFLOP/s "
+              f"end-to-end ({100.0 * tfs / peak_tflops():.2f}% of "
+              f"{peak_tflops():.0f} TFLOP/s peak)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - diagnostic only
+        print(f"sweep flops unavailable: {e}", file=sys.stderr)
+
     audio_sec = SONG_SECONDS * len(STEM_NAMES)
     value = audio_sec / elapsed
     # Headline = best of 5 (device capability; the spread is tunnel D2H

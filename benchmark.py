@@ -27,6 +27,8 @@ def main() -> None:
                     help=".pt (converted) or params .npz for 'ours'")
     ap.add_argument("--synthetic", action="store_true",
                     help="run on the synthetic fixture instead of a dataset")
+    ap.add_argument("--synthetic-tracks", type=int, default=5,
+                    help="number of synthetic fixture tracks")
     ap.add_argument("--plot-spectrograms", action="store_true",
                     help="write per-track all-stems spectrogram PNGs")
     ap.add_argument("--use-wandb", action="store_true",
@@ -47,7 +49,7 @@ def main() -> None:
 
     cfg = Config.from_yaml(args.config) if Path(args.config).exists() else Config()
     if args.synthetic:
-        tracks = synthetic_tracks(2, seconds=12.0)
+        tracks = synthetic_tracks(args.synthetic_tracks, seconds=12.0)
     else:
         tracks = discover_tracks(args.test_dir or cfg.data.test_dir)
     if not tracks:

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_to_sheet_music_tpu.models import atht, htdemucs
-from audio_to_sheet_music_tpu.utils.profiling import timed
+from audio_to_sheet_music_tpu.utils.profiling import (flops_estimate,
+                                                      peak_tflops, timed)
 
 
 def main() -> None:
@@ -58,6 +59,9 @@ def main() -> None:
         return atht.apply_head_multi(params, enc, embs)
 
     audio_sec = b * 6.0
+    peak = peak_tflops()
+    print(f"MFU denominator: {peak:.0f} TFLOP/s "
+          f"(override with ATSM_PEAK_TFLOPS)")
     for name, fn, fnargs in [
         ("dsp_frontend", dsp_only, (wav,)),
         ("encode", encode_only, (params, wav)),
@@ -67,8 +71,12 @@ def main() -> None:
         r = timed(fn, *fnargs, warmup=1, iters=3)
         rate = audio_sec / r["best_s"]
         mult = 4 if name.endswith("4stem") else 1
+        fl = flops_estimate(fn, *fnargs)
+        tfs = fl / r["best_s"] / 1e12 if fl > 0 else float("nan")
+        mfu = 100.0 * tfs / peak
         print(f"{name:>16}: {r['best_s']*1e3:8.1f} ms  "
-              f"({rate * mult:7.1f} stem-audio-sec/s)")
+              f"({rate * mult:7.1f} stem-audio-sec/s)  "
+              f"{fl/1e9:8.1f} GFLOP  {tfs:6.2f} TFLOP/s  {mfu:5.2f}% peak")
 
     # STFT path comparison: XLA matmul-DFT (default) vs the fused Pallas
     # kernel (ops.pallas_stft, opt-in ATSM_PALLAS_STFT=1).  Measures the

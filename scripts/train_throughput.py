@@ -22,52 +22,73 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _measure(step, frozen, head, opt, batch_size: int, seg_t: int,
+             steps: int, with_flops: bool = True) -> dict:
+    from audio_to_sheet_music_tpu.train import TrainState
+    from audio_to_sheet_music_tpu.utils.profiling import (flops_estimate,
+                                                          peak_tflops)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mixture": jnp.asarray(
+            rng.standard_normal((batch_size, 2, seg_t)), jnp.float32),
+        "target": jnp.asarray(
+            rng.standard_normal((batch_size, 2, seg_t)), jnp.float32),
+        "input_ids": jnp.asarray(np.tile([0, 100, 2], (batch_size, 1)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((batch_size, 3), jnp.int32),
+    }
+    state = TrainState.create(head, opt)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, frozen, batch)
+    _ = float(metrics["loss/total"])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, frozen, batch)
+    _ = float(metrics["loss/total"])   # host sync
+    dt = (time.perf_counter() - t0) / steps
+
+    fl = flops_estimate(step, state, frozen, batch) if with_flops else -1.0
+    tfs = fl / dt / 1e12 if fl > 0 else float("nan")
+    return {"dt": dt, "compile_s": compile_s, "flops": fl, "tflops": tfs,
+            "mfu_pct": 100.0 * tfs / peak_tflops()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--segment-seconds", type=float, default=6.0)
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure batch 4/8/16/32 and print the scaling "
+                    "table (device saturation knee)")
     args = ap.parse_args()
 
     from audio_to_sheet_music_tpu.models import atht
-    from audio_to_sheet_music_tpu.train import (TrainState, make_optimizer,
-                                                make_train_step)
+    from audio_to_sheet_music_tpu.train import make_optimizer, make_train_step
 
     params = atht.init(jax.random.PRNGKey(0))
     frozen = {"htdemucs": params["htdemucs"], "clap": params["clap"]}
     opt = make_optimizer(total_steps=1000)
-    state = TrainState.create(params["head"], opt)
     step = make_train_step(opt)
 
-    t = int(args.segment_seconds * 44100)
-    rng = np.random.default_rng(0)
-    batch = {
-        "mixture": jnp.asarray(rng.standard_normal((args.batch, 2, t)), jnp.float32),
-        "target": jnp.asarray(rng.standard_normal((args.batch, 2, t)), jnp.float32),
-        "input_ids": jnp.asarray(np.tile([0, 100, 2], (args.batch, 1)), jnp.int32),
-        "attention_mask": jnp.ones((args.batch, 3), jnp.int32),
-    }
-
-    t0 = time.perf_counter()
-    state, metrics = step(state, frozen, batch)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(metrics['loss/total']):.3f}", file=sys.stderr)
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, frozen, batch)
-    _ = float(metrics["loss/total"])   # host sync
-    dt = (time.perf_counter() - t0) / args.steps
-
-    audio_sec_per_step = args.batch * args.segment_seconds
-    print(f"steps/s: {1.0 / dt:.2f}  "
-          f"audio-hours/hour: {audio_sec_per_step / dt / 3600 * 3600:.0f}  "
-          f"(batch {args.batch}, {args.segment_seconds:.0f}s segments)")
-    # MusDB18 train: 100 tracks x ~4 min x 4 stems ~= 26.7 h of (segment,
-    # stem) audio per epoch; the reference needed ~15 h/epoch on CPU.
-    epoch_audio_sec = 100 * 240 * 4
-    print(f"est. full-MusDB18 epoch: {epoch_audio_sec / (audio_sec_per_step / dt) / 60:.1f} min "
-          f"(reference anchor: ~900 min on CPU)")
+    seg_t = int(args.segment_seconds * 44100)
+    batches = [4, 8, 16, 32] if args.sweep else [args.batch]
+    epoch_audio_sec = 100 * 240 * 4   # MusDB18 train: ~26.7 h of (seg, stem)
+    print(f"{'batch':>5} {'steps/s':>8} {'audio-sec/s':>11} "
+          f"{'TFLOP/s':>8} {'MFU%':>6} {'epoch-min':>9}")
+    for b in batches:
+        r = _measure(step, frozen, params["head"], opt, b, seg_t, args.steps)
+        audio_rate = b * args.segment_seconds / r["dt"]
+        print(f"{b:>5} {1.0 / r['dt']:>8.2f} {audio_rate:>11.1f} "
+              f"{r['tflops']:>8.2f} {r['mfu_pct']:>6.2f} "
+              f"{epoch_audio_sec / audio_rate / 60:>9.1f}",
+              flush=True)
+    print("(reference anchor: ~900 epoch-min on CPU, config.yaml:5; "
+          "epoch-min = full-MusDB18 epoch at this rate)")
 
 
 if __name__ == "__main__":
