@@ -128,16 +128,89 @@ def _decoder_init(key, freq: bool, chans=tuple(DECODER_CHANNELS)) -> Params:
     return {"layers": layers}
 
 
+def _freq_layer_down4(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """One freq-decoder layer when ``F_in == target_f``: ConvT2d(8,1)/s(4,1)
+    /p(2,0) -> [GroupNorm(1)+GELU] -> bilinear F resize 4*F_in -> F_in,
+    fused via the sub-pixel phase decomposition.
+
+    The reference decoder resizes the frequency axis back to T_spec after
+    EVERY layer (`ATHTDemucs_v2.py:91-94` with targets from `:198`, which
+    records ``x.shape[-1]`` — the frame count), so the 4x convT upsample is
+    immediately undone by an exact /4 decimation.  align_corners=False
+    decimation by 4 keeps ``0.5*(y[4i+1] + y[4i+2])`` only — in phase
+    terms (j = 4a + r - 2): phase 3 at a=i and phase 0 at a=i+1.  So:
+
+    - run the phase-bank conv WITHOUT the (s, A) interleave transpose
+      (the interleave relayout copy was ~30% of decoder device time);
+    - GroupNorm stats over the valid convT positions via an edge mask
+      (phases (0,1) at a=0 and (2,3) at a=S fall outside the crop);
+    - normalise + GELU only the two surviving phases (half the tensor),
+      never materialising the 4*F_in-tall intermediate.
+
+    Identical algebra to the unfused ops — `tests/test_freqdec_fused.py`
+    pins equality against the generic path.
+    """
+    conv = layer["conv"]
+    w = conv["weight"].astype(x.dtype)                # (I, O, 8, 1)
+    i_ch, o_ch = w.shape[0], w.shape[1]
+    bank = nn._subpixel_kernel_1d(w[..., 0], 4)       # (O*4, I, 2), ch=(o, r)
+    # phase-MAJOR channel order (ch = r*O + o): phases become CONTIGUOUS
+    # channel slices below — a (o, r)-ordered 5-D split materialised a
+    # full-tensor relayout copy (~12 ms at serving shapes)
+    bank = (bank.reshape(o_ch, 4, i_ch, 2).transpose(1, 0, 2, 3)
+            .reshape(o_ch * 4, i_ch, 2)[..., None])
+    z = jax.lax.conv_general_dilated(
+        x, bank, (1, 1), [(1, 1), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))   # (B, 4*O, S+1, T)
+    if "bias" in conv:
+        z = z + jnp.tile(conv["bias"].astype(z.dtype), 4)[None, :, None, None]
+    b, _, a_len, t = z.shape
+    s = a_len - 1
+    p3 = z[:, 3 * o_ch :, :s, :]                      # y[4i+1], i in [0, S)
+    p0 = z[:, :o_ch, 1:, :]                           # y[4i+2]
+    if "norm" in layer:
+        nrm = layer["norm"]
+        zf = z.astype(jnp.float32)
+        ch = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * o_ch, 1, 1), 1)
+        a_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, a_len, 1), 2)
+        invalid = (((ch < 2 * o_ch) & (a_idx == 0))
+                   | ((ch >= 2 * o_ch) & (a_idx == s)))
+        mask = 1.0 - invalid.astype(jnp.float32)
+        count = o_ch * 4 * s * t                      # == numel of convT out
+        mean = (zf * mask).sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1) / count
+        var = (jnp.square(zf - mean) * mask
+               ).sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1) / count
+        inv = jax.lax.rsqrt(var + 1e-5)
+        gam = nrm["weight"].reshape(1, o_ch, 1, 1)
+        bet = nrm["bias"].reshape(1, o_ch, 1, 1)
+
+        def norm_gelu(ph):
+            pf = (ph.astype(jnp.float32) - mean) * inv * gam + bet
+            return nn.gelu(pf.astype(x.dtype))
+
+        p3, p0 = norm_gelu(p3), norm_gelu(p0)
+    return (0.5 * (p3.astype(jnp.float32) + p0.astype(jnp.float32))
+            ).astype(x.dtype)
+
+
 def freq_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
                        target_lengths: List[int]) -> jnp.ndarray:
     """4x [ConvT2d k=(8,1) s=(4,1) p=(2,0) -> GroupNorm(1) -> GELU] with
     freq-axis resize to ``target_lengths[i]`` and 0.1-scaled skips."""
     for i, layer in enumerate(p["layers"]):
-        x = nn.conv_transpose2d(layer["conv"], x, stride=(4, 1), padding=(2, 0))
-        if "norm" in layer:
-            x = nn.gelu(nn.group_norm(layer["norm"], x, 1))
-        if i < len(target_lengths) and x.shape[2] != target_lengths[i]:
-            x = nn.interpolate_bilinear(x, (target_lengths[i], x.shape[3]))
+        if i < len(target_lengths) and x.shape[2] == target_lengths[i]:
+            # F_in == target: convT + norm + exact /4 decimation collapse
+            # into the phase-fused layer (identical algebra, no 4*F
+            # intermediate) — the common case for every layer after the
+            # first (the reference re-targets F to T_spec each layer).
+            x = _freq_layer_down4(layer, x)
+        else:
+            x = nn.conv_transpose2d(layer["conv"], x, stride=(4, 1),
+                                    padding=(2, 0))
+            if "norm" in layer:
+                x = nn.gelu(nn.group_norm(layer["norm"], x, 1))
+            if i < len(target_lengths) and x.shape[2] != target_lengths[i]:
+                x = nn.interpolate_bilinear(x, (target_lengths[i], x.shape[3]))
         if i < len(skips):
             skip = skips[i][:, : x.shape[1]]
             skip = nn.interpolate_bilinear(skip, x.shape[2:])

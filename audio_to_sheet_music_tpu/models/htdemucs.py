@@ -118,15 +118,31 @@ def henc_layer_init(key, chin: int, chout: int, freq: bool) -> Params:
     return {"conv": conv, "rewrite": rewrite, "dconv": dconv_init(k3, chout)}
 
 
+def _use_pallas_dconv() -> bool:
+    import os
+
+    return os.environ.get("ATSM_PALLAS_DCONV") == "1"
+
+
 def _dconv_freq(p: Params, y: jnp.ndarray) -> jnp.ndarray:
     """Run the 1-D DConv along time for every (batch, freq) row.
 
     Reference folds F into the batch (demucs ``HEncLayer.forward``); one big
-    batched conv is the MXU-friendly layout.
+    batched conv is the MXU-friendly layout.  With ``ATSM_PALLAS_DCONV=1``
+    the folded rows run through the fused VMEM kernel
+    (``ops.pallas_dconv``) instead of per-op XLA convs.
     """
     b, c, f, t = y.shape
     y = y.transpose(0, 2, 1, 3).reshape(b * f, c, t)
-    y = dconv_apply(p, y)
+    if _use_pallas_dconv() and jax.default_backend() != "cpu":
+        from ..ops import pallas_dconv
+
+        if pallas_dconv.supports(b * f, t, c):
+            y = pallas_dconv.dconv_rows(p, y)
+        else:
+            y = dconv_apply(p, y)
+    else:
+        y = dconv_apply(p, y)
     return y.reshape(b, f, c, t).transpose(0, 2, 1, 3)
 
 

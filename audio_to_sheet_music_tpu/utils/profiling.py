@@ -47,6 +47,43 @@ def timed(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> dict:
             "iters": iters}
 
 
+def loop_cost(body: Callable, *args, n1: int = 4, n2: int = 24,
+              iters: int = 3) -> float:
+    """True per-evaluation device seconds of ``body(*args)`` — floor-free.
+
+    Loop-in-graph timing at a single loop count N still carries the
+    per-program dispatch/sync floor (measured ~54 ms on the axon tunnel)
+    divided by N: an empty ``fori_loop`` "costs" 2.7 ms/iter at N=20.
+    Differential timing removes it exactly: time the body chained N1 and
+    N2 times inside one program each and take the slope
+    ``(T(N2) - T(N1)) / (N2 - N1)``.
+
+    ``body(s, *args)`` must return a scalar-convertible value and consume
+    ``s`` (the chaining scalar) so XLA cannot hoist iterations.
+    """
+
+    def make(n):
+        def fn(*args):
+            def it(_, s):
+                return s + 1e-30 * body(s, *args)
+            return jax.lax.fori_loop(0, n, it, jnp.zeros((), jnp.float32))
+
+        return jax.jit(fn)
+
+    f1, f2 = make(n1), make(n2)
+    _sync(f1(*args))
+    _sync(f2(*args))
+    best1 = best2 = float("inf")
+    for _ in range(iters):   # interleave to cancel weather drift
+        t0 = time.perf_counter()
+        _sync(f1(*args))
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(f2(*args))
+        best2 = min(best2, time.perf_counter() - t0)
+    return (best2 - best1) / (n2 - n1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/atsm_trace"):
     """``with trace(): step()`` -> TensorBoard-viewable device trace."""

@@ -1,0 +1,105 @@
+"""Floor-free device timing: N chained forwards inside ONE XLA program.
+
+    python scripts/bench_forward_loop.py [--chunks 12] [--loop 8]
+
+Per-dispatch timings on this environment carry a ~54 ms (and
+weather-dependent) dispatch/sync floor, which buried every sub-100 ms
+comparison today.  This benchmark runs forwards chained through a data
+dependency inside one jitted program at TWO loop counts and reports the
+slope ``(T(n2) - T(n1)) / (n2 - n1)`` — the floor cancels exactly
+(see ``utils.profiling.loop_cost``).
+
+Variants:
+- ``forward_4stem`` (the serving hot program) with the XLA DConv path
+- the same with ``ATSM_PALLAS_DCONV=1`` (fused VMEM DConv kernel)
+- encode-only, per-path
+
+Interleaves variant dispatches A/B/A/B to cancel residual weather.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from audio_to_sheet_music_tpu.models import atht
+from audio_to_sheet_music_tpu.utils.profiling import _sync, peak_tflops
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=12)
+    ap.add_argument("--loop", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--encode-only", action="store_true")
+    args = ap.parse_args()
+    dtype = jnp.bfloat16
+
+    params = atht.init(jax.random.PRNGKey(0))
+    b, t = args.chunks, 264600
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(0.1 * rng.standard_normal((b, 2, t)), jnp.float32)
+    embs4 = jnp.zeros((4, 512), jnp.float32)
+    n = args.loop
+
+    def make(loop_body, n):
+        def fn(params, wav, embs):
+            def body(_, w):
+                out = loop_body(params, w, embs)
+                # thread a negligible dependency so iterations chain
+                return w + 1e-30 * out
+            return jax.lax.fori_loop(0, n, body, wav)
+        return jax.jit(fn)
+
+    def four_stem(params, w, embs):
+        enc = atht.encode_mixture(params, w, dtype)
+        stacked = atht.apply_head_multi(params, enc, embs)   # (S, B, 2, L)
+        return stacked[0].astype(jnp.float32)
+
+    def encode(params, w, embs):
+        enc = atht.encode_mixture(params, w, dtype)
+        return enc["x_enc"].sum() * jnp.ones_like(w)
+
+    body = encode if args.encode_only else four_stem
+    n1, n2 = 2, 2 + n
+    variants = []
+    for name, flag in [("xla-dconv", "0"), ("pallas-dconv", "1")]:
+        os.environ["ATSM_PALLAS_DCONV"] = flag
+        # trace now (env is read at trace time), under a distinct wrapper
+        f1, f2 = make(body, n1), make(body, n2)
+        _sync(f1(params, wav, embs4))          # compile + warm
+        _sync(f2(params, wav, embs4))
+        variants.append((name, f1, f2))
+    os.environ.pop("ATSM_PALLAS_DCONV", None)
+
+    times = {name: ([], []) for name, _, _ in variants}
+    for _ in range(args.iters):
+        for name, f1, f2 in variants:
+            for slot, fn in ((0, f1), (1, f2)):
+                t0 = time.perf_counter()
+                _sync(fn(params, wav, embs4))
+                times[name][slot].append(time.perf_counter() - t0)
+
+    audio = b * 6.0 * (1 if args.encode_only else 4)
+    print(f"{'variant':>14}  per-fwd(ms)  stem-audio-sec/s   "
+          f"(slope {n1}->{n2}, chunks={b})")
+    for name, _, _ in variants:
+        per = (min(times[name][1]) - min(times[name][0])) / (n2 - n1)
+        print(f"{name:>14}  {per*1e3:10.1f}  {audio/per:15.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
