@@ -177,9 +177,15 @@ def _freq_layer_down4(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
                    | ((ch >= 2 * o_ch) & (a_idx == s)))
         mask = 1.0 - invalid.astype(jnp.float32)
         count = o_ch * 4 * s * t                      # == numel of convT out
-        mean = (zf * mask).sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1) / count
-        var = (jnp.square(zf - mean) * mask
-               ).sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1) / count
+        # one-pass stats (sum + sum-of-squares, a single multi-output
+        # reduce in the conv output's native layout) — the two-pass
+        # mean-then-var form forced a full-tensor relayout copy between
+        # the conv and the second reduction (~12 ms at serving shapes)
+        zm = zf * mask
+        s1 = zm.sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1)
+        s2 = (zf * zm).sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1)
+        mean = s1 / count
+        var = s2 / count - jnp.square(mean)
         inv = jax.lax.rsqrt(var + 1e-5)
         gam = nrm["weight"].reshape(1, o_ch, 1, 1)
         bet = nrm["bias"].reshape(1, o_ch, 1, 1)
@@ -191,6 +197,18 @@ def _freq_layer_down4(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
         p3, p0 = norm_gelu(p3), norm_gelu(p0)
     return (0.5 * (p3.astype(jnp.float32) + p0.astype(jnp.float32))
             ).astype(x.dtype)
+
+
+def _skip_add(x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+    """``x + skip * SKIP_SCALE`` where ``skip``'s batch may be a divisor of
+    ``x``'s (the multi-stem head keeps stem-independent encoder state
+    UNTILED — resizes run once, the broadcast fuses into this add)."""
+    b, b0 = x.shape[0], skip.shape[0]
+    contrib = skip.astype(x.dtype) * SKIP_SCALE
+    if b == b0:
+        return x + contrib
+    xr = x.reshape(b // b0, b0, *x.shape[1:])
+    return (xr + contrib[None]).reshape(b, *x.shape[1:])
 
 
 def freq_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
@@ -214,7 +232,7 @@ def freq_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
         if i < len(skips):
             skip = skips[i][:, : x.shape[1]]
             skip = nn.interpolate_bilinear(skip, x.shape[2:])
-            x = x + skip.astype(x.dtype) * SKIP_SCALE
+            x = _skip_add(x, skip)
     return x
 
 
@@ -229,7 +247,7 @@ def time_decoder_apply(p: Params, x: jnp.ndarray, skips: List[jnp.ndarray],
         if i < len(skips):
             skip = skips[i][:, : x.shape[1]]
             skip = nn.interpolate_linear(skip, x.shape[2])
-            x = x + skip.astype(x.dtype) * SKIP_SCALE
+            x = _skip_add(x, skip)
     return x
 
 
@@ -376,6 +394,16 @@ def static_plan(t: int) -> Dict[str, Any]:
     return {"lengths": lengths, "lengths_t": lengths_t, "original_length": t}
 
 
+def _expand(v: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Broadcast a batch-``b0`` tensor to batch ``b = k*b0`` (stem-tiling
+    without materialisation — XLA fuses the broadcast into consumers)."""
+    b0 = v.shape[0]
+    if b0 == b:
+        return v
+    k = b // b0
+    return jnp.broadcast_to(v[None], (k, *v.shape)).reshape(b, *v.shape[1:])
+
+
 def apply_head(params: Params, enc: Dict[str, Any],
                text_emb: jnp.ndarray) -> jnp.ndarray:
     """Text-conditioned head: cross-attention + decoders + masking + iSTFT."""
@@ -392,9 +420,12 @@ def apply_head(params: Params, enc: Dict[str, Any],
     x_dec = nn.interpolate_bilinear(x_dec, (fq, t_spec)).astype(jnp.float32)
 
     mask = jax.nn.sigmoid(x_dec)                       # (B, 2, F, T)
-    mag_stereo = enc["mag"][:, :2]                     # CaC re/im planes (:303)
+    b = mask.shape[0]
+    # stem-independent encoder state may arrive UNTILED (batch b0 with
+    # b = S*b0, see apply_head_multi) — broadcast it into the fusions here
+    mag_stereo = _expand(enc["mag"][:, :2], b)         # CaC re/im planes (:303)
     masked = mag_stereo * mask
-    z_stereo = enc["z"][:, :2]
+    z_stereo = _expand(enc["z"][:, :2], b)
     # Deliberate parity quirk: the "magnitude" here is the SIGNED CaC
     # real/imag planes, so a coefficient near -1e-8 makes this denominator
     # ~0 (reference `ATHTDemucs_v2.py:307-309` divides identically; the
@@ -408,7 +439,8 @@ def apply_head(params: Params, enc: Dict[str, Any],
     xt_dec = nn.conv1d(head["time_out"], xt_dec)
     if xt_dec.shape[-1] != original_length:
         xt_dec = nn.interpolate_linear(xt_dec, original_length)
-    xt_dec = xt_dec.astype(jnp.float32) * enc["stdt"] + enc["meant"]
+    xt_dec = (xt_dec.astype(jnp.float32) * _expand(enc["stdt"], b)
+              + _expand(enc["meant"], b))
 
     return freq_wav + xt_dec
 
@@ -442,11 +474,14 @@ def apply_head_multi(params: Params, enc: Dict[str, Any],
     def tile(v):
         return jnp.concatenate([v] * s, axis=0)
 
-    tiled = {k: (tile(v) if hasattr(v, "ndim") and v.ndim >= 1
-                 and v.shape[:1] == (b,) else v)
-             for k, v in enc.items() if k not in ("saved", "saved_t")}
-    tiled["saved"] = [tile(a) for a in enc["saved"]]
-    tiled["saved_t"] = [tile(a) for a in enc["saved_t"]]
+    # Only the attention inputs need real tiling (their outputs are
+    # text-conditioned per stem).  Everything else — skips, spectrogram,
+    # normalisation stats — is stem-INDEPENDENT and stays at batch B:
+    # apply_head broadcasts it lazily (skip resizes run once, not S
+    # times, and no S*B-sized copies of the encoder state hit HBM).
+    tiled = {k: v for k, v in enc.items()}
+    tiled["x_enc"] = tile(enc["x_enc"])
+    tiled["xt_enc"] = tile(enc["xt_enc"])
     e = jnp.repeat(stem_embs, b, axis=0)            # (S*B, 512)
     out = apply_head(params, tiled, e)              # (S*B, 2, T)
     return out.reshape(s, b, 2, out.shape[-1])

@@ -373,12 +373,43 @@ def _lerp_resize_axis(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
             out = 0.5 * (phases[..., s // 2 - 1].astype(jnp.float32)
                          + phases[..., s // 2].astype(jnp.float32))
         return jnp.moveaxis(out.astype(x.dtype), -1, axis)
+    i0, i1, frac = _lerp_src(in_size, size)
+    if axis == x.ndim - 1 and size < in_size:
+        # Near-identity shrink on the minor axis (the time decoder's
+        # 4T -> 4T-k frame adjustments, k tiny): i0[j] - j takes only a
+        # few values, so the 2-tap gather lowers to <=8 contiguous
+        # minor-axis slices + a static-weight lerp.  jnp.take here forced
+        # an axis-first gather plus relayout copies (~10 ms/stem chain).
+        offs0, offs1 = i0 - np.arange(size), i1 - np.arange(size)
+        if (offs0.min() >= 0 and np.unique(offs0).size <= 8
+                and np.all(np.diff(offs0) >= 0)
+                and np.all(np.diff(offs1) >= 0)):
+
+            def take_slices(od):
+                bounds = ([0] + list(np.nonzero(np.diff(od))[0] + 1)
+                          + [size])
+                parts = [x[..., a + int(od[a]) : b + int(od[a])]
+                         for a, b in zip(bounds[:-1], bounds[1:])]
+                return (jnp.concatenate(parts, axis=-1)
+                        if len(parts) > 1 else parts[0])
+
+            f = jnp.asarray(frac)
+            return (take_slices(offs0).astype(jnp.float32) * (1.0 - f)
+                    + take_slices(offs1).astype(jnp.float32) * f
+                    ).astype(x.dtype)
     if in_size * size <= _RESIZE_MATMUL_MAX:
         w = jnp.asarray(_lerp_weight(in_size, size), x.dtype)
+        if axis == x.ndim - 2:
+            # contract the axis in place (dot_general on dim -2) instead
+            # of moveaxis + matmul + moveaxis: two full-tensor relayout
+            # transposes become one swap of the small result
+            out = jax.lax.dot_general(
+                x, w, (((axis,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (..., minor, out)
+            return jnp.swapaxes(out, -1, -2).astype(x.dtype)
         moved = jnp.moveaxis(x, axis, -1)
         out = jnp.matmul(moved, w, preferred_element_type=jnp.float32)
         return jnp.moveaxis(out.astype(x.dtype), -1, axis)
-    i0, i1, frac = _lerp_src(in_size, size)
     x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
     x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
     shape = [1] * x.ndim
