@@ -97,11 +97,26 @@ def _dft_consts(n: int, inverse: bool):
     return (n1, n2, w1.astype(c64), w2.astype(c64), tw.astype(c64))
 
 
+def _dft_precision():
+    """DFT matmul algorithm — true f32 (HIGHEST) by default.
+
+    Measured on v5e (`ATSM_DFT_ALG` overrides; spec->ispec roundtrip on
+    0.3-rms noise): the TPU default single bf16 pass errs ~1e-1 absolute;
+    ``BF16_BF16_F32_X3`` errs 5e-1 — its per-dot error is relative to
+    sum(|terms|), and the DFT's massive cancellation amplifies that across
+    the 4 cascaded stages.  Audio needs the exact-f32 path.
+    """
+    import os
+
+    alg = os.environ.get("ATSM_DFT_ALG")
+    if alg:
+        return getattr(jax.lax.DotAlgorithmPreset, alg)
+    return jax.lax.Precision.HIGHEST
+
+
 def _mm(a, b):
-    # HIGHEST: true f32 multiplies — the TPU default (bf16 passes) costs the
-    # STFT->iSTFT roundtrip ~1e-1 absolute error, far too lossy for audio.
     return jnp.matmul(a, b, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_dft_precision())
 
 
 def _dft_matmul(xr: jnp.ndarray, xi: jnp.ndarray | None, n: int,
@@ -265,6 +280,52 @@ def stft(x: jnp.ndarray, n_fft: int = 4096, hop: int = 1024,
     return z  # (..., F, n_frames)
 
 
+@functools.lru_cache(maxsize=4)
+def _istft_seg_consts(n_fft: int, hop: int):
+    """Per-phase ``(n_fft//2+1, hop)`` operators folding iDFT x window x OLA.
+
+    Output hop-segment ``m`` of the windowed overlap-add is
+    ``seg[m][h] = sum_j frames[m-j][j*hop + h] * win[j*hop + h]`` — a
+    LINEAR map of the ``ratio`` contributing frames' half-spectra.  Each
+    phase ``j`` gets a dense real/imag matrix built in f64 (conjugate
+    symmetry absorbed via the 2x factor on interior bins), so the whole
+    iSTFT body becomes ``2*ratio`` MXU matmuls with NO materialised
+    ``(frames, n_fft)`` tensor (that intermediate plus its window/OLA
+    passes was ~16% of forward device time).
+    """
+    ratio = n_fft // hop
+    h_bins = n_fft // 2 + 1
+    k = np.arange(h_bins, dtype=np.float64)
+    i = np.arange(n_fft, dtype=np.float64)
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * i / n_fft))    # periodic hann
+    # irfft_matmul computes (1/n) * full-DFT; istft multiplies by sqrt(n)
+    scale = math.sqrt(n_fft) / n_fft
+    a = np.where((k == 0) | (k == n_fft // 2), 1.0, 2.0)[:, None]
+    mats = []
+    for j in range(ratio):
+        p = j * hop + np.arange(hop, dtype=np.float64)
+        ang = 2.0 * np.pi * np.outer(k, p) / n_fft
+        wr = np.cos(ang) * a * win[j * hop :(j + 1) * hop] * scale
+        wi = -np.sin(ang) * a * win[j * hop :(j + 1) * hop] * scale
+        mats.append((wr.astype(np.float32), wi.astype(np.float32)))
+    return mats
+
+
+def _istft_segments(zr: jnp.ndarray, zi: jnp.ndarray, n_fft: int,
+                    hop: int) -> jnp.ndarray:
+    """``(..., n_frames, n_fft//2+1)`` re/im -> windowed-OLA signal
+    ``(..., (n_frames + ratio - 1) * hop)`` (pre-envelope-division)."""
+    ratio = n_fft // hop
+    lead = zr.shape[:-2]
+    for j, (wr, wi) in enumerate(_istft_seg_consts(n_fft, hop)):
+        # segment m reads frame m - j: front-pad j frames, back-pad rest
+        pad = [(0, 0)] * (zr.ndim - 2) + [(j, ratio - 1 - j), (0, 0)]
+        contrib = (_mm(jnp.pad(zr, pad), jnp.asarray(wr))
+                   + _mm(jnp.pad(zi, pad), jnp.asarray(wi)))
+        acc = contrib if j == 0 else acc + contrib
+    return acc.reshape(*lead, -1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def istft(
     z: jnp.ndarray, length: int | None = None, n_fft: int = 4096, hop: int = 1024,
@@ -274,10 +335,14 @@ def istft(
     z: complex ``(..., n_fft//2 + 1, n_frames)``.  Returns ``(..., length)``.
     """
     z = jnp.moveaxis(z, -1, -2)  # (..., n_frames, F)
-    frames = _irfft(z, n_fft) * math.sqrt(n_fft)
-    win = hann_window(n_fft)
-    sig = overlap_add(frames * win, hop)
     n_frames = z.shape[-2]
+    win = hann_window(n_fft)
+    if use_matmul_fft() and n_fft % hop == 0:
+        sig = _istft_segments(z.real.astype(jnp.float32),
+                              z.imag.astype(jnp.float32), n_fft, hop)
+    else:
+        frames = _irfft(z, n_fft) * math.sqrt(n_fft)
+        sig = overlap_add(frames * win, hop)
     env = overlap_add(
         jnp.broadcast_to(win * win, (n_frames, n_fft)), hop
     )

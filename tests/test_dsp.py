@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 import torch
 
+import jax
+
 import jax.numpy as jnp
 
 from audio_to_sheet_music_tpu.ops import dsp
@@ -213,3 +215,57 @@ def test_pad_reflect_safe_short_input_length_contract():
     out = np.asarray(dsp.pad_reflect_safe(jnp.asarray(y), 10, 3))
     np.testing.assert_array_equal(
         out, np.pad(y, ((0, 0), (10, 3)), mode="reflect"))
+
+
+class TestFusedIstft:
+    """The segment-matmul iSTFT (``dsp._istft_segments``: iDFT x window x
+    OLA folded into per-phase ``(bins, hop)`` operators) must match the
+    factored irfft+window+OLA path exactly — same algebra, one less
+    full-frames intermediate.  torch-parity of the factored path is pinned
+    elsewhere in this file; this pins fused == factored."""
+
+    @pytest.mark.parametrize("n_fft,hop,frames", [(64, 16, 9), (256, 64, 5)])
+    def test_matches_factored_path(self, n_fft, hop, frames, monkeypatch):
+        import math
+
+        from audio_to_sheet_music_tpu.ops import dsp as d
+
+        monkeypatch.setattr(d, "_MATMUL_FFT", True)
+        rng = np.random.default_rng(3)
+        zr = jnp.asarray(rng.standard_normal((3, n_fft // 2 + 1, frames)),
+                         jnp.float32)
+        zi = jnp.asarray(rng.standard_normal((3, n_fft // 2 + 1, frames)),
+                         jnp.float32)
+        z = jax.lax.complex(zr, zi)
+        got = np.asarray(d.istft(z, None, n_fft, hop))
+        zz = jnp.moveaxis(z, -1, -2)
+        fr = d.irfft_matmul(zz, n_fft) * math.sqrt(n_fft)
+        win = d.hann_window(n_fft)
+        sig = d.overlap_add(fr * win, hop)
+        env = d.overlap_add(jnp.broadcast_to(win * win, (frames, n_fft)), hop)
+        sig = sig[..., n_fft // 2 : -(n_fft // 2)]
+        env = env[n_fft // 2 : -(n_fft // 2)]
+        ref = np.asarray(sig / jnp.maximum(env, 1e-11))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_length_crop_matches_fft_reference(self):
+        """Fused istft vs jnp.fft reference (the CPU default path) with an
+        explicit length crop — exercises the ispec contract end to end."""
+        from audio_to_sheet_music_tpu.ops import dsp as d
+
+        rng = np.random.default_rng(4)
+        n_fft, hop, frames, length = 64, 16, 12, 150
+        zr = jnp.asarray(rng.standard_normal((2, n_fft // 2 + 1, frames)),
+                         jnp.float32)
+        zi = jnp.asarray(rng.standard_normal((2, n_fft // 2 + 1, frames)),
+                         jnp.float32)
+        z = jax.lax.complex(zr, zi)
+        ref = np.asarray(d.istft(z, length, n_fft, hop))   # cpu: fft path
+        try:
+            d._MATMUL_FFT = True
+            d.istft._clear_cache()
+            got = np.asarray(d.istft(z, length, n_fft, hop))
+        finally:
+            d._MATMUL_FFT = None
+            d.istft._clear_cache()
+        np.testing.assert_allclose(got, ref, atol=2e-5)
