@@ -146,17 +146,30 @@ def main() -> None:
                          "checkpoint (reference app.py loads the same keys)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--ui", choices=("auto", "gradio", "http"), default="auto",
+                    help="auto = gradio when importable, else the stdlib "
+                         "HTTP fallback UI (apps.serve_http) — same "
+                         "workflow, zero extra dependencies")
     ap.add_argument("--warmup-seconds", type=float, default=60.0,
                     help="pre-compile the sweep for this song length's "
                          "chunk-grid bucket at startup (other buckets still "
                          "compile on first use, cached persistently; 0 "
                          "disables)")
     args = ap.parse_args()
-    try:
-        import gradio  # noqa: F401
-    except ImportError as e:
-        raise SystemExit("gradio is not installed in this environment; "
-                         "install it to serve the demo") from e
+    ui = args.ui
+    if ui in ("auto", "gradio"):
+        try:
+            import gradio  # noqa: F401
+
+            ui = "gradio"
+        except ImportError as e:
+            if ui == "gradio":
+                raise SystemExit("gradio is not installed in this "
+                                 "environment; use --ui http for the "
+                                 "dependency-free fallback UI") from e
+            print("gradio not installed -> stdlib HTTP fallback UI "
+                  "(same workflow; install gradio for the Blocks demo)")
+            ui = "http"
     sep = build_separator(args.checkpoint, args.config)
     if args.warmup_seconds > 0:
         t = int(args.warmup_seconds * SAMPLE_RATE)
@@ -164,7 +177,13 @@ def main() -> None:
               "(first compile can take minutes; cached afterwards)...")
         sep.separate(np.zeros((2, t), np.float32), "vocals")
         print("warmup done")
-    create_demo(sep).launch(server_name=args.host, server_port=args.port)
+    if ui == "gradio":
+        create_demo(sep).launch(server_name=args.host, server_port=args.port)
+    else:
+        from .serve_http import SeparationService, serve
+
+        serve(SeparationService(sep, pretrained=sep.pretrained),
+              args.host, args.port)
 
 
 if __name__ == "__main__":

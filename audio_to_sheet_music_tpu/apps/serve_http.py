@@ -1,0 +1,256 @@
+"""Dependency-free HTTP serving UI (fallback for the gradio demo).
+
+The reference serves its demo through gradio Blocks (`app.py:205-393`),
+which is not installable in offline environments.  This module implements
+the same workflow — upload audio, type a free-text prompt, get the
+separated stem plus input/output spectrograms — on the standard library's
+``http.server`` so the framework can actually serve end-to-end anywhere:
+
+    python -m audio_to_sheet_music_tpu.apps.serve --ui http [--port 7860]
+
+Surface:
+  ``GET  /``              single-page UI (no external assets)
+  ``GET  /api/health``    ``{"status": "ok", "pretrained": ..., ...}``
+  ``POST /api/separate``  body = WAV bytes, query ``?prompt=...``; returns
+                          ``audio/wav`` by default or, with ``&format=json``,
+                          a JSON object carrying the stem WAV and both
+                          spectrogram PNGs base64-encoded (what the page
+                          uses, mirroring the gradio outputs at
+                          `app.py:330-352`).
+
+Device work is serialised with a lock (one jitted sweep at a time); WAV
+decode/encode rides ``utils.audio_io`` (scipy, no ffmpeg).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+SAMPLE_RATE = 44100
+
+_PAGE = """<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Audio-Text Stem Separation (TPU)</title>
+<style>
+  body { font-family: system-ui, sans-serif; max-width: 760px;
+         margin: 2rem auto; padding: 0 1rem; color: #1a1a1a; }
+  h1 { font-size: 1.4rem; }
+  fieldset { border: 1px solid #ccc; border-radius: 8px; margin: 1rem 0; }
+  label { display: block; margin: .5rem 0 .2rem; font-weight: 600; }
+  input[type=text] { width: 100%; padding: .4rem; box-sizing: border-box; }
+  button { padding: .5rem 1.2rem; font-size: 1rem; cursor: pointer; }
+  .preset { margin: 0 .2rem .2rem 0; padding: .2rem .6rem; font-size: .85rem; }
+  img { max-width: 100%; border: 1px solid #ddd; border-radius: 4px; }
+  #status { margin: .8rem 0; font-style: italic; }
+  .row { display: flex; gap: 1rem; flex-wrap: wrap; }
+  .row > div { flex: 1 1 320px; }
+</style></head><body>
+<h1>Text-conditioned stem separation</h1>
+<p>Upload audio and describe the sound to extract.</p>
+<fieldset><legend>Input</legend>
+  <label for="file">audio file (.wav)</label>
+  <input type="file" id="file" accept=".wav,audio/wav">
+  <label for="prompt">prompt</label>
+  <input type="text" id="prompt" value="vocals">
+  <div style="margin-top:.4rem">
+    <button class="preset" onclick="setPrompt('vocals')">vocals</button>
+    <button class="preset" onclick="setPrompt('drums')">drums</button>
+    <button class="preset" onclick="setPrompt('bass')">bass</button>
+    <button class="preset" onclick="setPrompt('other')">other</button>
+  </div>
+  <p><button id="go" onclick="separate()">Separate</button></p>
+</fieldset>
+<div id="status">idle</div>
+<div class="row">
+  <div><label>mixture</label><audio id="mix" controls></audio></div>
+  <div><label>separated stem</label><audio id="stem" controls></audio></div>
+</div>
+<div class="row">
+  <div><label>input spectrogram</label><img id="spec_in" alt=""></div>
+  <div><label>output spectrogram</label><img id="spec_out" alt=""></div>
+</div>
+<script>
+function setPrompt(p) { document.getElementById('prompt').value = p; }
+async function separate() {
+  const f = document.getElementById('file').files[0];
+  const status = document.getElementById('status');
+  if (!f) { status.textContent = 'choose a .wav file first'; return; }
+  const prompt = document.getElementById('prompt').value || 'vocals';
+  status.textContent = 'separating "' + prompt + '"…';
+  document.getElementById('go').disabled = true;
+  try {
+    document.getElementById('mix').src = URL.createObjectURL(f);
+    const body = await f.arrayBuffer();
+    const r = await fetch('/api/separate?format=json&prompt=' +
+                          encodeURIComponent(prompt),
+                          { method: 'POST', body: body,
+                            headers: { 'Content-Type': 'audio/wav' } });
+    if (!r.ok) { throw new Error(await r.text()); }
+    const out = await r.json();
+    document.getElementById('stem').src = 'data:audio/wav;base64,' + out.stem_wav_b64;
+    document.getElementById('spec_in').src = 'data:image/png;base64,' + out.spec_in_png_b64;
+    document.getElementById('spec_out').src = 'data:image/png;base64,' + out.spec_out_png_b64;
+    status.textContent = out.status;
+  } catch (e) { status.textContent = 'error: ' + e.message; }
+  document.getElementById('go').disabled = false;
+}
+</script></body></html>
+"""
+
+
+def decode_wav_bytes(data: bytes) -> np.ndarray:
+    """WAV bytes -> float32 (2, T) at 44.1 kHz (upload path of the gradio
+    demo, reference `app.py:113-126`, minus ffmpeg formats)."""
+    from scipy.io import wavfile
+
+    from ..utils import audio_io
+
+    sr, raw = wavfile.read(io.BytesIO(data))
+    if raw.dtype != np.float32:
+        if raw.dtype == np.uint8:            # 8-bit PCM is offset-binary
+            raw = (raw.astype(np.float32) - 128.0) / 128.0
+        elif np.issubdtype(raw.dtype, np.integer):
+            raw = raw.astype(np.float32) / np.iinfo(raw.dtype).max
+        else:
+            raw = raw.astype(np.float32)
+    wav = raw.T if raw.ndim == 2 else raw[None, :]
+    return audio_io.to_stereo(audio_io.resample(
+        np.ascontiguousarray(wav), int(sr), SAMPLE_RATE))
+
+
+def encode_wav_bytes(wav: np.ndarray, sr: int = SAMPLE_RATE) -> bytes:
+    """float32 (C, T) -> 16-bit PCM WAV bytes."""
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    data = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    wavfile.write(buf, sr, (data.T * 32767.0).astype(np.int16))
+    return buf.getvalue()
+
+
+def _spectrogram_png(wav: np.ndarray, title: str) -> bytes:
+    from ..utils import plotting
+
+    fig = plotting.plot_spectrogram(wav, title)
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=80, bbox_inches="tight")
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return buf.getvalue()
+
+
+class SeparationService:
+    """Separator + lock: the session's jitted sweep and its host-side OLA
+    buffers are single-flight, so concurrent requests queue here."""
+
+    def __init__(self, separator, pretrained: bool = False,
+                 spectrograms: bool = True):
+        self.separator = separator
+        self.pretrained = pretrained
+        self.spectrograms = spectrograms
+        self._lock = threading.Lock()
+        self.requests_served = 0
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "pretrained": self.pretrained,
+            "segment_seconds": self.separator.segment / self.separator.sample_rate,
+            "overlap_seconds": self.separator.overlap / self.separator.sample_rate,
+            "requests_served": self.requests_served,
+        }
+
+    def separate(self, wav_bytes: bytes, prompt: str,
+                 want_json: bool) -> tuple[bytes, str]:
+        """-> (payload, content_type)."""
+        wav = decode_wav_bytes(wav_bytes)
+        with self._lock:
+            stem = self.separator.separate(wav, prompt)
+            self.requests_served += 1
+        stem_wav = encode_wav_bytes(stem)
+        if not want_json:
+            return stem_wav, "audio/wav"
+        out = {
+            "stem_wav_b64": base64.b64encode(stem_wav).decode("ascii"),
+            "status": (f"separated '{prompt}' from "
+                       f"{wav.shape[-1] / SAMPLE_RATE:.1f} s of audio"),
+        }
+        if self.spectrograms:
+            out["spec_in_png_b64"] = base64.b64encode(
+                _spectrogram_png(wav, "input mixture")).decode("ascii")
+            out["spec_out_png_b64"] = base64.b64encode(
+                _spectrogram_png(stem, f"separated: {prompt}")).decode("ascii")
+        else:
+            out["spec_in_png_b64"] = out["spec_out_png_b64"] = ""
+        return json.dumps(out).encode(), "application/json"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SeparationService  # set by make_server
+
+    def _send(self, code: int, payload: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, fmt, *args):  # noqa: D102 - quiet by default
+        pass
+
+    def do_GET(self) -> None:  # noqa: N802 - http.server API
+        path = urlparse(self.path).path
+        if path in ("/", "/index.html"):
+            self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+        elif path == "/api/health":
+            self._send(200, json.dumps(self.service.health()).encode(),
+                       "application/json")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def do_POST(self) -> None:  # noqa: N802 - http.server API
+        url = urlparse(self.path)
+        if url.path != "/api/separate":
+            self._send(404, b"not found", "text/plain")
+            return
+        q = parse_qs(url.query)
+        prompt = (q.get("prompt", ["vocals"])[0] or "vocals").strip()
+        want_json = q.get("format", ["wav"])[0] == "json"
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            if n <= 0:
+                raise ValueError("empty body; POST WAV bytes")
+            body = self.rfile.read(n)
+            payload, ctype = self.service.separate(body, prompt, want_json)
+        except Exception as e:  # noqa: BLE001 - surface to the client
+            self._send(400, f"separation failed: {e}".encode(), "text/plain")
+            return
+        self._send(200, payload, ctype)
+
+
+def make_server(service: SeparationService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral) without blocking; caller runs
+    ``serve_forever`` (tests run it on a thread)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(service: SeparationService, host: str, port: int) -> None:
+    httpd = make_server(service, host, port)
+    print(f"serving (stdlib HTTP fallback UI) on "
+          f"http://{host}:{httpd.server_address[1]}/")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

@@ -69,6 +69,7 @@ class Separator:
                              else jnp.bfloat16)
         self.compute_dtype = compute_dtype
         self.normalize_text = normalize_text
+        self.pretrained = pretrained
         self.mesh = mesh
         self.tokenizer = tokenizer or default_tokenizer(
             require_real=pretrained)

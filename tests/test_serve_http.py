@@ -1,0 +1,163 @@
+"""Live end-to-end tests of the stdlib HTTP serving UI (apps/serve_http.py).
+
+The reference demo (`app.py:205-393`) is a gradio Blocks app; gradio is not
+installable offline, so the framework ships a dependency-free fallback with
+the same workflow.  These tests exercise a REAL server: bind an ephemeral
+port, run it on a thread, and drive the full request cycle over TCP —
+health, WAV-in/WAV-out separation, the JSON mode the page consumes
+(stem + both spectrogram PNGs), and error paths.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from audio_to_sheet_music_tpu.apps import serve_http
+from audio_to_sheet_music_tpu.infer import Separator
+from audio_to_sheet_music_tpu.models import atht
+
+SR = 44100
+
+
+def _make_wav_bytes(t: int = SR, channels: int = 2, sr: int = SR,
+                    dtype=np.float32) -> bytes:
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal((channels, t))).astype(np.float32)
+    if dtype == np.int16:
+        wav = (wav * 32767).astype(np.int16)
+    return serve_http.encode_wav_bytes(wav, sr) if dtype == np.float32 else (
+        _pcm_wav_bytes(wav, sr))
+
+
+def _pcm_wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, pcm.T)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = atht.init_tiny(jax.random.PRNGKey(0))
+    sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05)
+    service = serve_http.SeparationService(sep, pretrained=False)
+    httpd = serve_http.make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+    httpd.server_close()
+    thread.join(timeout=5)
+
+
+class TestHttpServer:
+    def test_health(self, server):
+        url, service = server
+        with urllib.request.urlopen(f"{url}/api/health", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["status"] == "ok"
+        assert body["pretrained"] is False
+        assert body["segment_seconds"] == pytest.approx(0.25)
+
+    def test_index_page(self, server):
+        url, _ = server
+        with urllib.request.urlopen(f"{url}/", timeout=30) as r:
+            page = r.read().decode()
+        assert "Separate" in page and "/api/separate" in page
+
+    def test_separate_wav_roundtrip(self, server):
+        url, service = server
+        before = service.requests_served
+        wav_bytes = _make_wav_bytes(t=SR // 2)
+        req = urllib.request.Request(
+            f"{url}/api/separate?prompt=vocals", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            out = r.read()
+        from scipy.io import wavfile
+
+        sr, stem = wavfile.read(io.BytesIO(out))
+        assert sr == SR
+        assert stem.dtype == np.int16
+        assert stem.shape == (SR // 2, 2)     # same length, stereo
+        assert service.requests_served == before + 1
+
+    def test_separate_json_mode_carries_spectrograms(self, server):
+        url, _ = server
+        wav_bytes = _make_wav_bytes(t=SR // 4)
+        req = urllib.request.Request(
+            f"{url}/api/separate?prompt=drums&format=json", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "application/json"
+            out = json.loads(r.read())
+        assert "drums" in out["status"]
+        stem = base64.b64decode(out["stem_wav_b64"])
+        assert stem[:4] == b"RIFF"
+        for key in ("spec_in_png_b64", "spec_out_png_b64"):
+            png = base64.b64decode(out[key])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_mono_low_rate_upload_is_normalised(self, server):
+        """Mono 22.05 kHz int16 upload -> stereo 44.1 kHz stem (the
+        resample/to_stereo path of the gradio `_load_input`)."""
+        url, _ = server
+        rng = np.random.default_rng(1)
+        pcm = (3000 * rng.standard_normal((1, 11025))).astype(np.int16)
+        req = urllib.request.Request(
+            f"{url}/api/separate", data=_pcm_wav_bytes(pcm, SR // 2),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = r.read()
+        from scipy.io import wavfile
+
+        sr, stem = wavfile.read(io.BytesIO(out))
+        assert sr == SR and stem.shape == (22050, 2)
+
+    def test_empty_body_is_400(self, server):
+        url, _ = server
+        req = urllib.request.Request(f"{url}/api/separate", data=b"")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
+    def test_garbage_body_is_400(self, server):
+        url, _ = server
+        req = urllib.request.Request(f"{url}/api/separate",
+                                     data=b"not a wav file at all")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
+    def test_unknown_path_is_404(self, server):
+        url, _ = server
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{url}/api/nope", timeout=30)
+        assert exc.value.code == 404
+
+
+class TestCodecs:
+    def test_decode_wav_bytes_int16_and_float(self):
+        rng = np.random.default_rng(2)
+        wav = (0.25 * rng.standard_normal((2, 4410))).astype(np.float32)
+        out_f = serve_http.decode_wav_bytes(serve_http.encode_wav_bytes(wav))
+        # encode quantises to int16; decode divides by 32767
+        np.testing.assert_allclose(out_f, wav, atol=2.0 / 32767)
+
+    def test_decode_resamples_and_stereoises(self):
+        rng = np.random.default_rng(3)
+        mono = (1000 * rng.standard_normal((1, 11025))).astype(np.int16)
+        out = serve_http.decode_wav_bytes(_pcm_wav_bytes(mono, 22050))
+        assert out.shape == (2, 22050)
+        np.testing.assert_allclose(out[0], out[1])
