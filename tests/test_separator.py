@@ -203,3 +203,27 @@ class TestProtocolParity:
 
         ours = sep.separate(song, "vocals")
         np.testing.assert_allclose(ours[:, 1:-1], naive[:, 1:-1], atol=2e-4)
+
+
+class TestSweepFlops:
+    """`Separator.sweep_flops` feeds the MFU numbers bench.py and the
+    profilers report (VERDICT r2 #1) — pin its basic contract."""
+
+    def test_positive_and_monotonic_in_length(self):
+        params = atht.init_tiny(jax.random.PRNGKey(3))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        short = sep.sweep_flops(22050)
+        long = sep.sweep_flops(44100)
+        assert short > 0
+        # twice the song -> strictly more dispatched FLOPs
+        assert long > short
+
+    def test_scales_with_stem_count(self):
+        params = atht.init_tiny(jax.random.PRNGKey(3))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        fl2 = sep.sweep_flops(22050, n_stems=2)
+        fl4 = sep.sweep_flops(22050, n_stems=4)
+        # 4 stems reuse the shared encoder, so < 2x but > 1x the head work
+        assert fl2 < fl4 < 2.0 * fl2
