@@ -13,6 +13,7 @@ Replaces the reference's three separate host-side loops
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Mapping, Sequence, Tuple
 
 import jax
@@ -277,7 +278,8 @@ class Separator:
         pcm = np.empty((n_stems * 2, total_advance), np.int16)
         futures = []
         start = 0
-        with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        n_streams = int(os.environ.get("ATSM_FETCH_STREAMS", "4"))
+        with _cf.ThreadPoolExecutor(max_workers=max(8, 2 * n_streams)) as ex:
             for gi in schedule:
                 span = (gi - 1) * hop + seg
                 advance = gi * hop
@@ -335,10 +337,13 @@ class Separator:
 
     @classmethod
     def _submit_fetch(cls, ex, out: np.ndarray, start: int, src,
-                      nsplit: int = 4):
+                      nsplit: int | None = None):
         """Submit ``src (R, T)`` as ``nsplit`` concurrent row-slice
         transfers into ``out[:, start:...]`` (aggregate tunnel bandwidth
-        scales with concurrent streams up to ~4)."""
+        scales with concurrent streams up to ~4; override the default with
+        ``ATSM_FETCH_STREAMS`` to re-probe on other links)."""
+        if nsplit is None:
+            nsplit = int(os.environ.get("ATSM_FETCH_STREAMS", "4"))
         rows = src.shape[0]
         step = max(1, -(-rows // nsplit))
         return [ex.submit(cls._fetch_into, out, r0, start, src[r0:r0 + step])
