@@ -47,14 +47,17 @@ def main() -> None:
               f"({n / py_dt:.1f} batches/s)")
 
         if native_available():
-            nat = NativeBatchLoader([t.path for t in tracks], seg, args.batch,
-                                    tok, n_threads=4, augment=True,
-                                    random_segments=True)
-            t0 = time.perf_counter()
-            n = sum(1 for _ in nat)
-            nat_dt = time.perf_counter() - t0
-            print(f"native loader: {n} batches in {nat_dt:.2f}s "
-                  f"({n / nat_dt:.1f} batches/s, {py_dt / nat_dt:.1f}x python)")
+            for n_threads in (1, 2, 4):
+                nat = NativeBatchLoader([t.path for t in tracks], seg,
+                                        args.batch, tok, n_threads=n_threads,
+                                        augment=True, random_segments=True)
+                t0 = time.perf_counter()
+                n = sum(1 for _ in nat)
+                nat_dt = time.perf_counter() - t0
+                print(f"native loader ({n_threads} thread"
+                      f"{'s' if n_threads > 1 else ''}): {n} batches in "
+                      f"{nat_dt:.2f}s ({n / nat_dt:.1f} batches/s, "
+                      f"{py_dt / nat_dt:.1f}x python)")
         else:
             print("native loader unavailable")
 
