@@ -17,6 +17,12 @@ Surface:
                           spectrogram PNGs base64-encoded (what the page
                           uses, mirroring the gradio outputs at
                           `app.py:330-352`).
+  ``POST /api/separate/stream``  same request; the response WAV streams
+                          progressively — separated samples are written as
+                          soon as their overlap-add weights are final
+                          (``infer.StreamingSeparator``, O(block) memory),
+                          so playback can start before the song finishes
+                          separating.
 
 Device work is serialised with a lock (one jitted sweep at a time); WAV
 decode/encode rides ``utils.audio_io`` (scipy, no ffmpeg).
@@ -135,6 +141,25 @@ def encode_wav_bytes(wav: np.ndarray, sr: int = SAMPLE_RATE) -> bytes:
     return buf.getvalue()
 
 
+def wav_header(n_samples: int, channels: int = 2,
+               sr: int = SAMPLE_RATE) -> bytes:
+    """RIFF/WAVE header for a 16-bit PCM payload of known length —
+    written first so the rest of the file can stream behind it."""
+    import struct
+
+    data_bytes = n_samples * channels * 2
+    return (b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sr,
+                                    sr * channels * 2, channels * 2, 16)
+            + b"data" + struct.pack("<I", data_bytes))
+
+
+def pcm16_bytes(piece: np.ndarray) -> bytes:
+    """float32 (2, n) -> interleaved little-endian int16 frames."""
+    data = np.clip(np.asarray(piece, np.float32), -1.0, 1.0)
+    return (data.T * 32767.0).astype("<i2").tobytes()
+
+
 def _spectrogram_png(wav: np.ndarray, title: str) -> bytes:
     from ..utils import plotting
 
@@ -192,6 +217,42 @@ class SeparationService:
             out["spec_in_png_b64"] = out["spec_out_png_b64"] = ""
         return json.dumps(out).encode(), "application/json"
 
+    def separate_stream(self, wav_bytes: bytes, prompt: str, begin, write,
+                        block_chunks: int = 8) -> None:
+        """Progressive separation.  Calls ``begin(total_body_bytes)`` once
+        after decoding (so the caller can send Content-Length up front),
+        then ``write(bytes)`` with the WAV header and each finalised piece
+        as ``StreamingSeparator`` emits it.  The emitted sample count
+        always equals the input length (the streaming path's offline-
+        equality contract, `tests/test_streaming.py`); any mismatch is
+        padded/truncated defensively so the wire length never lies."""
+        from ..infer.streaming import StreamingSeparator
+
+        wav = decode_wav_bytes(wav_bytes)
+        t = wav.shape[-1]
+        with self._lock:
+            # construct (incl. the prompt's text-tower pass) BEFORE begin():
+            # failures up to here can still produce a clean 400
+            stream = StreamingSeparator(self.separator, stems=(prompt,),
+                                        block_chunks=block_chunks)
+            begin(44 + 4 * t)
+            write(wav_header(t))
+            written = 0
+            feed_step = max(stream.hop * block_chunks, 1)
+            for start in range(0, t, feed_step):
+                for piece in stream.feed(wav[:, start:start + feed_step]):
+                    chunk = pcm16_bytes(piece[0])[: 4 * t - written]
+                    written += len(chunk)
+                    write(chunk)
+            tail = stream.flush()
+            if tail.shape[-1]:
+                chunk = pcm16_bytes(tail[0])[: 4 * t - written]
+                written += len(chunk)
+                write(chunk)
+            if written < 4 * t:
+                write(b"\x00" * (4 * t - written))
+            self.requests_served += 1
+
 
 class _Handler(BaseHTTPRequestHandler):
     service: SeparationService  # set by make_server
@@ -218,7 +279,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802 - http.server API
         url = urlparse(self.path)
-        if url.path != "/api/separate":
+        if url.path not in ("/api/separate", "/api/separate/stream"):
             self._send(404, b"not found", "text/plain")
             return
         q = parse_qs(url.query)
@@ -229,11 +290,44 @@ class _Handler(BaseHTTPRequestHandler):
             if n <= 0:
                 raise ValueError("empty body; POST WAV bytes")
             body = self.rfile.read(n)
+        except Exception as e:  # noqa: BLE001 - surface to the client
+            self._send(400, f"separation failed: {e}".encode(), "text/plain")
+            return
+        if url.path == "/api/separate/stream":
+            self._stream_response(body, prompt)
+            return
+        try:
             payload, ctype = self.service.separate(body, prompt, want_json)
         except Exception as e:  # noqa: BLE001 - surface to the client
             self._send(400, f"separation failed: {e}".encode(), "text/plain")
             return
         self._send(200, payload, ctype)
+
+    def _stream_response(self, body: bytes, prompt: str) -> None:
+        """Progressive WAV: headers carry the exact Content-Length (input
+        length is known), the body flushes piece by piece as the
+        streaming separator finalises samples."""
+        def begin(total: int) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(total))
+            self.end_headers()
+
+        def write(chunk: bytes) -> None:
+            self.wfile.write(chunk)
+            self.wfile.flush()
+
+        try:
+            self.service.separate_stream(body, prompt, begin, write)
+        except Exception as e:  # noqa: BLE001 - decode errors before begin()
+            # begin() not yet called -> a clean 400 is still possible;
+            # mid-stream failures tear the connection (client sees a
+            # truncated body vs the promised length).
+            try:
+                self._send(400, f"separation failed: {e}".encode(),
+                           "text/plain")
+            except Exception:  # noqa: BLE001 - headers already sent
+                pass
 
 
 def make_server(service: SeparationService, host: str = "127.0.0.1",

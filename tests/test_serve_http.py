@@ -125,6 +125,45 @@ class TestHttpServer:
         sr, stem = wavfile.read(io.BytesIO(out))
         assert sr == SR and stem.shape == (22050, 2)
 
+    def test_streaming_endpoint_matches_offline(self, server):
+        """`/api/separate/stream` delivers the same stem as `/api/separate`
+        (streaming == offline is the StreamingSeparator contract), with an
+        exact Content-Length and a progressively written body."""
+        url, _ = server
+        wav_bytes = _make_wav_bytes(t=SR // 2)
+        off_req = urllib.request.Request(
+            f"{url}/api/separate?prompt=vocals", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(off_req, timeout=120) as r:
+            offline = r.read()
+        st_req = urllib.request.Request(
+            f"{url}/api/separate/stream?prompt=vocals", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(st_req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            promised = int(r.headers["Content-Length"])
+            first = r.read(4096)          # header+first piece arrive early
+            rest = r.read()
+        streamed = first + rest
+        assert len(streamed) == promised == 44 + 4 * (SR // 2)
+        from scipy.io import wavfile
+
+        sr_o, stem_o = wavfile.read(io.BytesIO(offline))
+        sr_s, stem_s = wavfile.read(io.BytesIO(streamed))
+        assert sr_s == sr_o and stem_s.shape == stem_o.shape
+        # both paths quantise the same float stem; allow 1 LSB of
+        # round-trip slack
+        np.testing.assert_allclose(stem_s.astype(np.int32),
+                                   stem_o.astype(np.int32), atol=1)
+
+    def test_streaming_endpoint_bad_wav_is_400(self, server):
+        url, _ = server
+        req = urllib.request.Request(f"{url}/api/separate/stream",
+                                     data=b"definitely not wav")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
     def test_empty_body_is_400(self, server):
         url, _ = server
         req = urllib.request.Request(f"{url}/api/separate", data=b"")
