@@ -86,11 +86,8 @@ def _load_input(audio, path_text):
         path_text = str(download_youtube_audio(path_text))
     if audio is not None:
         sr, data = audio                       # gradio numpy audio
-        if data.dtype == np.uint8:             # 8-bit PCM is offset-binary
-            data = (data.astype(np.float32) - 128.0) / 128.0
-        elif data.dtype.kind in "iu":          # int16/int32 payloads
-            data = data.astype(np.float32) / np.iinfo(data.dtype).max
-        wav = data.T.astype(np.float32) if data.ndim == 2 else data[None].astype(np.float32)
+        data = audio_io.payload_to_float(np.asarray(data))
+        wav = data.T if data.ndim == 2 else data[None]
         if np.abs(wav).max() > 1.5:            # float payload in int range
             wav = wav / 32768.0
     elif path_text:

@@ -114,31 +114,16 @@ async function separate() {
 def decode_wav_bytes(data: bytes) -> np.ndarray:
     """WAV bytes -> float32 (2, T) at 44.1 kHz (upload path of the gradio
     demo, reference `app.py:113-126`, minus ffmpeg formats)."""
-    from scipy.io import wavfile
-
     from ..utils import audio_io
 
-    sr, raw = wavfile.read(io.BytesIO(data))
-    if raw.dtype != np.float32:
-        if raw.dtype == np.uint8:            # 8-bit PCM is offset-binary
-            raw = (raw.astype(np.float32) - 128.0) / 128.0
-        elif np.issubdtype(raw.dtype, np.integer):
-            raw = raw.astype(np.float32) / np.iinfo(raw.dtype).max
-        else:
-            raw = raw.astype(np.float32)
-    wav = raw.T if raw.ndim == 2 else raw[None, :]
-    return audio_io.to_stereo(audio_io.resample(
-        np.ascontiguousarray(wav), int(sr), SAMPLE_RATE))
+    sr, wav = audio_io.read_wav(io.BytesIO(data))
+    return audio_io.to_stereo(audio_io.resample(wav, sr, SAMPLE_RATE))
 
 
 def encode_wav_bytes(wav: np.ndarray, sr: int = SAMPLE_RATE) -> bytes:
     """float32 (C, T) -> 16-bit PCM WAV bytes."""
-    from scipy.io import wavfile
-
-    buf = io.BytesIO()
-    data = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
-    wavfile.write(buf, sr, (data.T * 32767.0).astype(np.int16))
-    return buf.getvalue()
+    wav = np.asarray(wav, np.float32)
+    return wav_header(wav.shape[-1], wav.shape[0], sr) + pcm16_bytes(wav)
 
 
 def wav_header(n_samples: int, channels: int = 2,
@@ -197,8 +182,16 @@ class SeparationService:
                  want_json: bool) -> tuple[bytes, str]:
         """-> (payload, content_type)."""
         wav = decode_wav_bytes(wav_bytes)
+        pngs = None
         with self._lock:
+            # the lock covers ALL device work for this request — including
+            # the jitted spectrogram_db passes — and, because matplotlib's
+            # pyplot state machine is not thread-safe, the figure rendering
+            # too (handler threads are concurrent: ThreadingHTTPServer)
             stem = self.separator.separate(wav, prompt)
+            if want_json and self.spectrograms:
+                pngs = (_spectrogram_png(wav, "input mixture"),
+                        _spectrogram_png(stem, f"separated: {prompt}"))
             self.requests_served += 1
         stem_wav = encode_wav_bytes(stem)
         if not want_json:
@@ -208,11 +201,9 @@ class SeparationService:
             "status": (f"separated '{prompt}' from "
                        f"{wav.shape[-1] / SAMPLE_RATE:.1f} s of audio"),
         }
-        if self.spectrograms:
-            out["spec_in_png_b64"] = base64.b64encode(
-                _spectrogram_png(wav, "input mixture")).decode("ascii")
-            out["spec_out_png_b64"] = base64.b64encode(
-                _spectrogram_png(stem, f"separated: {prompt}")).decode("ascii")
+        if pngs is not None:
+            out["spec_in_png_b64"] = base64.b64encode(pngs[0]).decode("ascii")
+            out["spec_out_png_b64"] = base64.b64encode(pngs[1]).decode("ascii")
         else:
             out["spec_in_png_b64"] = out["spec_out_png_b64"] = ""
         return json.dumps(out).encode(), "application/json"
@@ -230,28 +221,38 @@ class SeparationService:
 
         wav = decode_wav_bytes(wav_bytes)
         t = wav.shape[-1]
+        # construct (incl. the prompt's text-tower pass) BEFORE begin():
+        # failures up to here can still produce a clean 400.  The lock is
+        # taken per device block, NOT across client writes — a slow
+        # streaming consumer (playback-paced link) must not starve other
+        # requests while its TCP buffer drains.  Each StreamingSeparator
+        # carries its own host-side state, so interleaving is safe.
         with self._lock:
-            # construct (incl. the prompt's text-tower pass) BEFORE begin():
-            # failures up to here can still produce a clean 400
             stream = StreamingSeparator(self.separator, stems=(prompt,),
                                         block_chunks=block_chunks)
-            begin(44 + 4 * t)
-            write(wav_header(t))
-            written = 0
-            feed_step = max(stream.hop * block_chunks, 1)
-            for start in range(0, t, feed_step):
-                for piece in stream.feed(wav[:, start:start + feed_step]):
-                    chunk = pcm16_bytes(piece[0])[: 4 * t - written]
-                    written += len(chunk)
-                    write(chunk)
+        begin(44 + 4 * t)
+        write(wav_header(t))
+        written = 0
+        feed_step = max(stream.hop * block_chunks, 1)
+
+        def emit(piece) -> None:
+            nonlocal written
+            chunk = pcm16_bytes(piece[0])[: 4 * t - written]
+            written += len(chunk)
+            write(chunk)
+
+        for start in range(0, t, feed_step):
+            with self._lock:
+                pieces = stream.feed(wav[:, start:start + feed_step])
+            for piece in pieces:
+                emit(piece)
+        with self._lock:
             tail = stream.flush()
-            if tail.shape[-1]:
-                chunk = pcm16_bytes(tail[0])[: 4 * t - written]
-                written += len(chunk)
-                write(chunk)
-            if written < 4 * t:
-                write(b"\x00" * (4 * t - written))
             self.requests_served += 1
+        if tail.shape[-1]:
+            emit(tail)
+        if written < 4 * t:
+            write(b"\x00" * (4 * t - written))
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -307,11 +308,15 @@ class _Handler(BaseHTTPRequestHandler):
         """Progressive WAV: headers carry the exact Content-Length (input
         length is known), the body flushes piece by piece as the
         streaming separator finalises samples."""
+        begun = False
+
         def begin(total: int) -> None:
+            nonlocal begun
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(total))
             self.end_headers()
+            begun = True
 
         def write(chunk: bytes) -> None:
             self.wfile.write(chunk)
@@ -319,15 +324,15 @@ class _Handler(BaseHTTPRequestHandler):
 
         try:
             self.service.separate_stream(body, prompt, begin, write)
-        except Exception as e:  # noqa: BLE001 - decode errors before begin()
-            # begin() not yet called -> a clean 400 is still possible;
-            # mid-stream failures tear the connection (client sees a
-            # truncated body vs the promised length).
-            try:
-                self._send(400, f"separation failed: {e}".encode(),
-                           "text/plain")
-            except Exception:  # noqa: BLE001 - headers already sent
-                pass
+        except Exception as e:  # noqa: BLE001 - surface or tear down
+            if begun:
+                # 200 + Content-Length already on the wire: injecting a
+                # 400 now would be decoded as PCM garbage — close instead,
+                # so the client sees a truncated body vs the promised
+                # length and can tell the stream failed.
+                self.close_connection = True
+                return
+            self._send(400, f"separation failed: {e}".encode(), "text/plain")
 
 
 def make_server(service: SeparationService, host: str = "127.0.0.1",

@@ -178,12 +178,15 @@ class Separator:
         return self._fetch_array(out).astype(np.float32)        # (S*2, T)
 
     @classmethod
-    def _fetch_array(cls, src, nsplit: int = 4) -> np.ndarray:
-        """Device -> host fetch over ``nsplit`` concurrent row-slice streams
+    def _fetch_array(cls, src, nsplit: int | None = None) -> np.ndarray:
+        """Device -> host fetch over concurrent row-slice streams
         (the tunnel's D2H bandwidth is per-stream limited; see
-        ``_submit_fetch``)."""
+        ``_submit_fetch`` — ``ATSM_FETCH_STREAMS`` tunes every fetch
+        path, this one included)."""
         import concurrent.futures as _cf
 
+        if nsplit is None:
+            nsplit = int(os.environ.get("ATSM_FETCH_STREAMS", "4"))
         rows = int(src.shape[0])
         if rows < 2:
             return np.asarray(src)

@@ -110,7 +110,18 @@ def _dft_precision():
 
     alg = os.environ.get("ATSM_DFT_ALG")
     if alg:
-        return getattr(jax.lax.DotAlgorithmPreset, alg)
+        presets = getattr(jax.lax, "DotAlgorithmPreset", None)
+        if presets is None:
+            raise RuntimeError(
+                "ATSM_DFT_ALG needs jax.lax.DotAlgorithmPreset (jax >= "
+                "0.4.37); unset it or upgrade jax")
+        try:
+            return getattr(presets, alg)
+        except AttributeError:
+            valid = [n for n in dir(presets) if not n.startswith("_")]
+            raise RuntimeError(
+                f"ATSM_DFT_ALG={alg!r} is not a DotAlgorithmPreset; "
+                f"valid: {valid}") from None
     return jax.lax.Precision.HIGHEST
 
 

@@ -30,18 +30,25 @@ def read_wav_pcm(path: str | Path) -> tuple[int, np.ndarray]:
     return sr, (np.clip(f32, -1, 1) * 32767).astype(np.int16)
 
 
+def payload_to_float(data: np.ndarray) -> np.ndarray:
+    """Any WAV-payload dtype -> float32 in [-1, 1] (single home of the
+    dtype-normalisation rules — the file reader, the gradio upload path
+    and the HTTP upload path all share it)."""
+    if data.dtype == np.float32:
+        return data
+    if data.dtype == np.uint8:          # 8-bit PCM is offset-binary
+        return (data.astype(np.float32) - 128.0) / 128.0
+    if np.issubdtype(data.dtype, np.integer):
+        return data.astype(np.float32) / np.iinfo(data.dtype).max
+    return data.astype(np.float32)
+
+
 def read_wav(path: str | Path) -> tuple[int, np.ndarray]:
-    """-> (sample_rate, float32 (C, T))."""
+    """-> (sample_rate, float32 (C, T)).  ``path`` may be file-like."""
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
-    if data.dtype != np.float32:
-        if data.dtype == np.uint8:      # 8-bit PCM is offset-binary
-            data = (data.astype(np.float32) - 128.0) / 128.0
-        elif np.issubdtype(data.dtype, np.integer):
-            data = data.astype(np.float32) / np.iinfo(data.dtype).max
-        else:
-            data = data.astype(np.float32)
+    data = payload_to_float(data)
     wav = data.T if data.ndim == 2 else data[None, :]
     return int(sr), np.ascontiguousarray(wav)
 

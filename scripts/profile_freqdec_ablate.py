@@ -7,7 +7,14 @@
 (2048, Tspec) — ~115 GFLOP, i.e. ~1.3% MFU: far off roofline for
 convT matmuls with K in the hundreds.  This ladder runs prefixes of the
 stage sequence so marginal differences isolate which sub-op eats the time
-(convT? GroupNorm? skip interpolation? the final 2048-bin resize?).
+(convT? GroupNorm? the per-layer F->Tspec resize? skips? the final
+2048-bin resize?).
+
+NOTE: this profiles the UNFUSED op chain (the attribution that motivated
+`atht._freq_layer_down4`); production defaults to the fused path, whose
+cost lives in `bench_head_loop.py`.  Shapes here match production: the
+freq axis re-targets to Tspec after every layer (the reference records
+time lengths and applies them to F, `ATHTDemucs_v2.py:91-94,198`).
 """
 
 from __future__ import annotations
@@ -52,7 +59,12 @@ def main() -> None:
                          jnp.float32).astype(dtype)
              for c, f in zip(chans, fs)]
     skips = saved[::-1]                      # deepest first
-    lengths = [2048, 512, 128, 32][::-1][1:] + [2048]  # post-stage F targets
+    # production F targets: the reference records the TIME lengths and
+    # resizes the freq axis to them after EVERY layer
+    # (`ATHTDemucs_v2.py:91-94,198`), i.e. F -> tspec each layer — the exact
+    # quirk the fused `_freq_layer_down4` exploits.  Profile THAT program,
+    # not a hypothetical 32->128->512->2048 ladder.
+    lengths = [tspec] * 4
 
     def ladder(upto: str, skip_mode: str = "on", norm_mode: str = "on"):
         def fn(head, x, skips):
@@ -65,6 +77,10 @@ def main() -> None:
                 if "norm" in layer and norm_mode == "on":
                     h = nn.gelu(nn.group_norm(layer["norm"], h, 1))
                 if upto == f"norm{i}":
+                    return h.sum()
+                if h.shape[2] != lengths[i]:
+                    h = nn.interpolate_bilinear(h, (lengths[i], h.shape[3]))
+                if upto == f"resize{i}":
                     return h.sum()
                 if i < len(skips) and skip_mode == "on":
                     sk = skips[i][:, : h.shape[1]]
@@ -83,7 +99,7 @@ def main() -> None:
     peak = peak_tflops()
     stages = []
     for i in range(4):
-        stages += [f"convT{i}", f"norm{i}", f"skip{i}"]
+        stages += [f"convT{i}", f"norm{i}", f"resize{i}", f"skip{i}"]
     stages += ["out", "resize"]
     prev = 0.0
     print(f"freq decoder ladder (B={b}, bf16), marginal = diff to prev row")

@@ -90,7 +90,8 @@ def build_stage(stage: str, chunks: int):
     return fn, (params, wav, embs4)
 
 
-def collect_topops(trace_dir: str, top: int) -> list[tuple[str, float, int]]:
+def collect_topops(trace_dir: str,
+                   top: int) -> tuple[list[tuple[str, float, int]], float]:
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -116,7 +117,8 @@ def collect_topops(trace_dir: str, top: int) -> list[tuple[str, float, int]]:
         agg[name][1] += 1
     rows = sorted(((n, d / 1e3, c) for n, (d, c) in agg.items()),
                   key=lambda r: -r[1])
-    return rows[:top]
+    total = sum(r[1] for r in rows)       # ALL ops, not just the top-N —
+    return rows[:top], total              # shares must not overstate
 
 
 def main() -> None:
@@ -134,10 +136,11 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix=f"trace_{args.stage}_")
     with jax.profiler.trace(tmp):
         _sync(fn(*fnargs))
-    rows = collect_topops(tmp, args.top)
-    total = sum(r[1] for r in rows)
+    rows, total = collect_topops(tmp, args.top)
+    covered = sum(r[1] for r in rows)
     print(f"stage={args.stage} chunks={args.chunks} "
-          f"(top-{args.top} device ops, ms summed over calls)")
+          f"(top-{args.top} device ops cover {100 * covered / max(total, 1e-9):.0f}% "
+          f"of {total:.1f} ms total; ms summed over calls)")
     for name, ms, count in rows:
         print(f"{ms:9.3f} ms  x{count:<4d} {100 * ms / max(total, 1e-9):5.1f}%"
               f"  {name[:110]}")
