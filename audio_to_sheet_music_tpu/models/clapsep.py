@@ -18,10 +18,11 @@ follows the paper and the reference's ``model_config`` (`benchmark.py:367-377`)
   -> sigmoid mask over the mixture magnitude -> iSTFT.
 
 TPU-first deviations (documented, weights cannot be bit-ported anyway since
-the upstream decoder source is not distributable here): hop 256 instead of
-HTSAT's 320 so the scatter-free iSTFT overlap-add applies (n_fft % hop == 0),
-and attention/FFN dims all ride the MXU as single large matmuls.  Everything
-is static-shaped and jits into one XLA program per chunk grid.
+the upstream decoder source is not distributable here): attention/FFN dims
+all ride the MXU as single large matmuls, and everything is static-shaped,
+jitting into one XLA program per chunk grid.  The STFT geometry matches
+upstream HTSAT exactly (n_fft 1024 / hop 320 — ``ops.dsp.overlap_add``
+handles non-dividing hops by pad-to-multiple + crop).
 """
 
 from __future__ import annotations
@@ -64,7 +65,7 @@ class ClapSepConfig:
     phase: bool = False                 # magnitude mask only
     spec_factor: float = 8.0            # log1p compression gain
     n_fft: int = 1024
-    hop: int = 256                      # TPU deviation (HTSAT uses 320)
+    hop: int = 320                      # upstream HTSAT geometry
     num_heads: int = 8
 
     @property

@@ -247,20 +247,26 @@ def frame(x: jnp.ndarray, frame_length: int, hop: int, n_frames: int) -> jnp.nda
 def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     """Overlap-add ``frames (..., N, L)`` at stride ``hop``.
 
-    Returns ``(..., L + (N-1)*hop)``.  Requires ``L % hop == 0``; implemented
-    as ``ratio`` shifted zero-padded views summed together (XLA fuses this into
-    a few adds — the device-side OLA primitive used by iSTFT and by chunked
-    full-song reconstruction).
+    Returns ``(..., L + (N-1)*hop)``.  Implemented as ``ratio`` shifted
+    zero-padded views summed together (XLA fuses this into a few adds —
+    the device-side OLA primitive used by iSTFT and by chunked full-song
+    reconstruction).  When ``hop`` does not divide ``L`` (e.g. CLAPSep's
+    upstream 1024/320 STFT), frames are zero-padded to the next hop
+    multiple — the padding contributes nothing — and the result cropped.
     """
     *lead, n, length = frames.shape
-    assert length % hop == 0, (length, hop)
-    ratio = length // hop
+    pad = (-length) % hop
+    if pad:
+        frames = jnp.pad(frames,
+                         [(0, 0)] * (frames.ndim - 1) + [(0, pad)])
+    ratio = (length + pad) // hop
     pieces = frames.reshape(*lead, n, ratio, hop)
     out_chunks = n - 1 + ratio
     acc = jnp.zeros((*lead, out_chunks, hop), dtype=frames.dtype)
     for i in range(ratio):
         acc = acc.at[..., i : i + n, :].add(pieces[..., :, i, :])
-    return acc.reshape(*lead, out_chunks * hop)
+    out = acc.reshape(*lead, out_chunks * hop)
+    return out[..., : (n - 1) * hop + length] if pad else out
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

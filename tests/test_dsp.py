@@ -153,13 +153,25 @@ def test_cac_roundtrip(rng):
 
 
 def test_overlap_add_matches_naive(rng):
-    n, length, hop = 7, 512, 128
-    frames = rng.standard_normal((3, n, length)).astype(np.float32)
-    out = np.asarray(dsp.overlap_add(jnp.asarray(frames), hop))
-    naive = np.zeros((3, length + (n - 1) * hop), np.float32)
-    for i in range(n):
-        naive[:, i * hop : i * hop + length] += frames[:, i]
-    np.testing.assert_allclose(out, naive, atol=1e-5)
+    # hop 128 divides 512 (the demucs 4096/1024 shape class); hop 320 does
+    # not divide 1024 (CLAPSep's upstream HTSAT geometry) and exercises the
+    # pad-to-multiple + crop path
+    for n, length, hop in [(7, 512, 128), (7, 1024, 320), (1, 96, 40)]:
+        frames = rng.standard_normal((3, n, length)).astype(np.float32)
+        out = np.asarray(dsp.overlap_add(jnp.asarray(frames), hop))
+        naive = np.zeros((3, length + (n - 1) * hop), np.float32)
+        for i in range(n):
+            naive[:, i * hop : i * hop + length] += frames[:, i]
+        np.testing.assert_allclose(out, naive, atol=1e-5)
+
+
+def test_stft_istft_roundtrip_non_dividing_hop(rng):
+    """n_fft 1024 / hop 320 (upstream CLAPSep/HTSAT geometry)."""
+    t = 320 * 30
+    x = (0.3 * rng.standard_normal((2, t))).astype(np.float32)
+    z = dsp.stft(jnp.asarray(x), 1024, 320)
+    y = np.asarray(dsp.istft(z, t, 1024, 320))
+    np.testing.assert_allclose(y, x, atol=2e-4)
 
 
 class TestMatmulFFT:
