@@ -56,3 +56,36 @@ class TestSeparateCLI:
         sr, back = audio_io.read_wav(out / "extracted_vocals.wav")
         assert sr == 44100 and back.shape[0] == 2
         assert np.isfinite(back).all()
+
+
+class TestConsoleEntryPoints:
+    """The pyproject console scripts resolve to cli.py and run end-to-end
+    (the repo-root main.py/benchmark.py are thin delegates to these)."""
+
+    def test_benchmark_main_synthetic(self, tmp_path, monkeypatch):
+        from audio_to_sheet_music_tpu.cli import benchmark_main
+
+        monkeypatch.setattr(sys, "argv", [
+            "atsm-benchmark", "--synthetic", "--synthetic-tracks", "1",
+            "--models", "ours", "--output-dir", str(tmp_path)])
+        benchmark_main()
+        out = json.loads((tmp_path / "evaluation_results.json").read_text())
+        model = out["AudioTextHTDemucs (Ours)"]
+        assert len(model["per_track"]) == 1
+        assert set(model["aggregate"]["sdr"]) >= {"drums", "bass", "other",
+                                                  "vocals", "average"}
+
+    def test_root_delegates_point_at_cli(self):
+        import importlib.util as iu
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parent.parent
+        for fname, target in [("main.py", "train_main"),
+                              ("benchmark.py", "benchmark_main")]:
+            spec = iu.spec_from_file_location(fname[:-3] + "_root",
+                                              root / fname)
+            mod = iu.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            from audio_to_sheet_music_tpu import cli
+
+            assert mod.main is getattr(cli, target)
