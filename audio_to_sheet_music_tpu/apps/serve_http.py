@@ -23,6 +23,13 @@ Surface:
                           (``infer.StreamingSeparator``, O(block) memory),
                           so playback can start before the song finishes
                           separating.
+  ``POST /api/separate_all``  body = WAV bytes, query ``?stems=a,b,...``
+                          (default all four); returns a zip of
+                          ``extracted_<stem>.wav`` files (the CLI's
+                          naming) produced by the pipelined PCM path
+                          (``Separator.separate_all_pcm`` — one shared
+                          encoder pass per chunk group, device-side int16
+                          quantisation, multi-stream fetches).
 
 Device work is serialised with a lock (one jitted sweep at a time); WAV
 decode/encode rides ``utils.audio_io`` (scipy, no ffmpeg).
@@ -208,6 +215,28 @@ class SeparationService:
             out["spec_in_png_b64"] = out["spec_out_png_b64"] = ""
         return json.dumps(out).encode(), "application/json"
 
+    def separate_all_zip(self, wav_bytes: bytes,
+                         stems: tuple[str, ...]) -> bytes:
+        """All requested stems via the pipelined PCM serving path, zipped
+        as ``extracted_<stem>.wav`` (the single-song CLI's file layout,
+        `apps/separate.py`).  PCM int16 bytes go into the zip verbatim
+        (STORED — WAV doesn't deflate and the host core is throttled);
+        the shared device-side scale preserves inter-stem loudness."""
+        import zipfile
+
+        wav = decode_wav_bytes(wav_bytes)
+        with self._lock:
+            pcm, _scales = self.separator.separate_all_pcm(wav, stems=stems)
+            self.requests_served += 1
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            for i, stem in enumerate(stems):
+                zf.writestr(
+                    f"extracted_{stem}.wav",
+                    wav_header(pcm.shape[-1])
+                    + np.ascontiguousarray(pcm[i].T).tobytes())
+        return buf.getvalue()
+
     def separate_stream(self, wav_bytes: bytes, prompt: str, begin, write,
                         block_chunks: int = 8) -> None:
         """Progressive separation.  Calls ``begin(total_body_bytes)`` once
@@ -280,7 +309,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802 - http.server API
         url = urlparse(self.path)
-        if url.path not in ("/api/separate", "/api/separate/stream"):
+        if url.path not in ("/api/separate", "/api/separate/stream",
+                            "/api/separate_all"):
             self._send(404, b"not found", "text/plain")
             return
         q = parse_qs(url.query)
@@ -298,7 +328,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._stream_response(body, prompt)
             return
         try:
-            payload, ctype = self.service.separate(body, prompt, want_json)
+            if url.path == "/api/separate_all":
+                stems = tuple(s.strip() for s in
+                              q.get("stems", ["vocals,drums,bass,other"])[0]
+                              .split(",") if s.strip())
+                if not stems:
+                    raise ValueError("no stems requested")
+                payload = self.service.separate_all_zip(body, stems)
+                ctype = "application/zip"
+            else:
+                payload, ctype = self.service.separate(body, prompt,
+                                                       want_json)
         except Exception as e:  # noqa: BLE001 - surface to the client
             self._send(400, f"separation failed: {e}".encode(), "text/plain")
             return

@@ -156,6 +156,37 @@ class TestHttpServer:
         np.testing.assert_allclose(stem_s.astype(np.int32),
                                    stem_o.astype(np.int32), atol=1)
 
+    def test_separate_all_zip(self, server):
+        """`/api/separate_all` returns the CLI's file layout (one
+        extracted_<stem>.wav per stem) via the pipelined PCM path."""
+        import zipfile
+
+        url, _ = server
+        wav_bytes = _make_wav_bytes(t=SR // 4)
+        req = urllib.request.Request(
+            f"{url}/api/separate_all?stems=vocals,drums", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            assert r.headers["Content-Type"] == "application/zip"
+            payload = r.read()
+        from scipy.io import wavfile
+
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            assert sorted(zf.namelist()) == ["extracted_drums.wav",
+                                             "extracted_vocals.wav"]
+            for name in zf.namelist():
+                sr, stem = wavfile.read(io.BytesIO(zf.read(name)))
+                assert sr == SR and stem.dtype == np.int16
+                assert stem.shape == (SR // 4, 2)
+
+    def test_separate_all_no_stems_is_400(self, server):
+        url, _ = server
+        req = urllib.request.Request(
+            f"{url}/api/separate_all?stems=%20", data=_make_wav_bytes(t=SR // 4))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
     def test_streaming_endpoint_bad_wav_is_400(self, server):
         url, _ = server
         req = urllib.request.Request(f"{url}/api/separate/stream",
