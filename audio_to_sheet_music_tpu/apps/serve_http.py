@@ -78,7 +78,8 @@ _PAGE = """<!DOCTYPE html>
     <button class="preset" onclick="setPrompt('bass')">bass</button>
     <button class="preset" onclick="setPrompt('other')">other</button>
   </div>
-  <p><button id="go" onclick="separate()">Separate</button></p>
+  <p><button id="go" onclick="separate()">Separate</button>
+     <button id="goall" onclick="separateAll()">All stems (zip)</button></p>
 </fieldset>
 <div id="status">idle</div>
 <div class="row">
@@ -91,6 +92,25 @@ _PAGE = """<!DOCTYPE html>
 </div>
 <script>
 function setPrompt(p) { document.getElementById('prompt').value = p; }
+async function separateAll() {
+  const f = document.getElementById('file').files[0];
+  const status = document.getElementById('status');
+  if (!f) { status.textContent = 'choose a .wav file first'; return; }
+  status.textContent = 'separating all stems…';
+  document.getElementById('goall').disabled = true;
+  try {
+    const r = await fetch('/api/separate_all',
+                          { method: 'POST', body: await f.arrayBuffer(),
+                            headers: { 'Content-Type': 'audio/wav' } });
+    if (!r.ok) { throw new Error(await r.text()); }
+    const a = document.createElement('a');
+    a.href = URL.createObjectURL(await r.blob());
+    a.download = 'stems.zip';
+    a.click();
+    status.textContent = 'all stems separated — zip downloaded';
+  } catch (e) { status.textContent = 'error: ' + e.message; }
+  document.getElementById('goall').disabled = false;
+}
 async function separate() {
   const f = document.getElementById('file').files[0];
   const status = document.getElementById('status');
