@@ -22,7 +22,7 @@ Subpackages
 - ``utils``    — config loading, plotting, optional wandb logging.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"       # keep in sync with pyproject.toml
 
 
 def _enable_compile_cache() -> None:
@@ -54,3 +54,7 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 from . import config, convert, data, infer, models, nn, ops, parallel, text, train  # noqa: F401,E402
+
+# the two objects almost every user starts from
+from .infer import Separator, StreamingSeparator  # noqa: F401,E402
+from .models.atht import load_params  # noqa: F401,E402
