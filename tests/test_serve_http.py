@@ -210,6 +210,41 @@ class TestHttpServer:
             urllib.request.urlopen(req, timeout=30)
         assert exc.value.code == 400
 
+    def test_concurrent_requests_serialise_cleanly(self, server):
+        """Four simultaneous requests (two plain, one JSON-with-PNGs, one
+        streaming) against the single-flight device lock: all succeed, no
+        deadlock, counter consistent."""
+        import concurrent.futures as cf
+
+        url, service = server
+        before = service.requests_served
+        wav_bytes = _make_wav_bytes(t=SR // 4)
+
+        def plain():
+            req = urllib.request.Request(f"{url}/api/separate?prompt=bass",
+                                         data=wav_bytes)
+            with urllib.request.urlopen(req, timeout=180) as r:
+                return len(r.read())
+
+        def jsonmode():
+            req = urllib.request.Request(
+                f"{url}/api/separate?prompt=drums&format=json",
+                data=wav_bytes)
+            with urllib.request.urlopen(req, timeout=180) as r:
+                return len(json.loads(r.read())["stem_wav_b64"])
+
+        def stream():
+            req = urllib.request.Request(
+                f"{url}/api/separate/stream?prompt=vocals", data=wav_bytes)
+            with urllib.request.urlopen(req, timeout=180) as r:
+                return len(r.read())
+
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(f) for f in (plain, plain, jsonmode, stream)]
+            sizes = [f.result() for f in futs]
+        assert all(s > 0 for s in sizes)
+        assert service.requests_served == before + 4
+
     def test_unknown_path_is_404(self, server):
         url, _ = server
         with pytest.raises(urllib.error.HTTPError) as exc:
