@@ -40,6 +40,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -138,11 +139,27 @@ async function separate() {
 """
 
 
-def decode_wav_bytes(data: bytes) -> np.ndarray:
-    """WAV bytes -> float32 (2, T) at 44.1 kHz (upload path of the gradio
-    demo, reference `app.py:113-126`, minus ffmpeg formats)."""
+def decode_wav_bytes(data: bytes, prefer_pcm: bool = False) -> np.ndarray:
+    """WAV bytes -> (2, T) at 44.1 kHz (upload path of the gradio demo,
+    reference `app.py:113-126`, minus ffmpeg formats).
+
+    With ``prefer_pcm`` the common case — 16-bit stereo 44.1 kHz — returns
+    int16 untouched (``Separator`` converts on DEVICE; this host's single
+    core makes a float pass cost ~1 s per 60 s song); everything else
+    normalises to float32."""
+    from scipy.io import wavfile
+
     from ..utils import audio_io
 
+    if prefer_pcm:
+        sr, raw = wavfile.read(io.BytesIO(data))
+        if (raw.dtype == np.int16 and raw.ndim == 2 and raw.shape[1] == 2
+                and int(sr) == SAMPLE_RATE):
+            return np.ascontiguousarray(raw.T)
+        wav = audio_io.payload_to_float(raw)
+        wav = wav.T if wav.ndim == 2 else wav[None, :]
+        return audio_io.to_stereo(audio_io.resample(
+            np.ascontiguousarray(wav), int(sr), SAMPLE_RATE))
     sr, wav = audio_io.read_wav(io.BytesIO(data))
     return audio_io.to_stereo(audio_io.resample(wav, sr, SAMPLE_RATE))
 
@@ -167,9 +184,10 @@ def wav_header(n_samples: int, channels: int = 2,
 
 
 def pcm16_bytes(piece: np.ndarray) -> bytes:
-    """float32 (2, n) -> interleaved little-endian int16 frames."""
+    """float32 (2, n) -> interleaved little-endian int16 frames (rounded,
+    matching the device quantisers — truncation would bias toward zero)."""
     data = np.clip(np.asarray(piece, np.float32), -1.0, 1.0)
-    return (data.T * 32767.0).astype("<i2").tobytes()
+    return np.round(data.T * 32767.0).astype("<i2").tobytes()
 
 
 def _spectrogram_png(wav: np.ndarray, title: str) -> bytes:
@@ -208,21 +226,29 @@ class SeparationService:
     def separate(self, wav_bytes: bytes, prompt: str,
                  want_json: bool) -> tuple[bytes, str]:
         """-> (payload, content_type)."""
-        wav = decode_wav_bytes(wav_bytes)
         pngs = None
+        if not want_json:
+            # hot path: int16 upload stays int16 to the device, absolute
+            # int16 comes back, bytes go into the WAV verbatim — zero
+            # host-side sample passes end to end
+            wav = decode_wav_bytes(wav_bytes, prefer_pcm=True)
+            with self._lock:
+                pcm = self.separator.separate_pcm(wav, prompt)
+                self.requests_served += 1
+            return (wav_header(pcm.shape[-1])
+                    + np.ascontiguousarray(pcm.T).tobytes(), "audio/wav")
+        wav = decode_wav_bytes(wav_bytes)
         with self._lock:
             # the lock covers ALL device work for this request — including
             # the jitted spectrogram_db passes — and, because matplotlib's
             # pyplot state machine is not thread-safe, the figure rendering
             # too (handler threads are concurrent: ThreadingHTTPServer)
             stem = self.separator.separate(wav, prompt)
-            if want_json and self.spectrograms:
+            if self.spectrograms:
                 pngs = (_spectrogram_png(wav, "input mixture"),
                         _spectrogram_png(stem, f"separated: {prompt}"))
             self.requests_served += 1
         stem_wav = encode_wav_bytes(stem)
-        if not want_json:
-            return stem_wav, "audio/wav"
         out = {
             "stem_wav_b64": base64.b64encode(stem_wav).decode("ascii"),
             "status": (f"separated '{prompt}' from "
@@ -241,20 +267,32 @@ class SeparationService:
         as ``extracted_<stem>.wav`` (the single-song CLI's file layout,
         `apps/separate.py`).  PCM int16 bytes go into the zip verbatim
         (STORED — WAV doesn't deflate and the host core is throttled);
-        the shared device-side scale preserves inter-stem loudness."""
+        the shared device-side scale preserves inter-stem loudness, and
+        ``scales.json`` records it (``sample = pcm * scale / 32767``) so
+        absolute levels are recoverable."""
+        import json as _json
+        import re
         import zipfile
 
-        wav = decode_wav_bytes(wav_bytes)
+        wav = decode_wav_bytes(wav_bytes, prefer_pcm=True)
         with self._lock:
-            pcm, _scales = self.separator.separate_all_pcm(wav, stems=stems)
+            pcm, scales = self.separator.separate_all_pcm(wav, stems=stems)
             self.requests_served += 1
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            names = {}
             for i, stem in enumerate(stems):
+                # prompts are free text — keep zip entry names traversal-safe
+                safe = re.sub(r"[^\w \-]+", "_", stem).strip() or f"stem{i}"
+                names[stem] = f"extracted_{safe}.wav"
                 zf.writestr(
-                    f"extracted_{stem}.wav",
+                    names[stem],
                     wav_header(pcm.shape[-1])
                     + np.ascontiguousarray(pcm[i].T).tobytes())
+            zf.writestr("scales.json", _json.dumps(
+                {names[stem]: float(scales[i])
+                 for i, stem in enumerate(stems)},
+                indent=2))
         return buf.getvalue()
 
     def separate_stream(self, wav_bytes: bytes, prompt: str, begin, write,
@@ -336,10 +374,25 @@ class _Handler(BaseHTTPRequestHandler):
         q = parse_qs(url.query)
         prompt = (q.get("prompt", ["vocals"])[0] or "vocals").strip()
         want_json = q.get("format", ["wav"])[0] == "json"
+        max_mb = int(os.environ.get("ATSM_MAX_UPLOAD_MB", "512"))
         try:
             n = int(self.headers.get("Content-Length", "0"))
             if n <= 0:
                 raise ValueError("empty body; POST WAV bytes")
+            if n > max_mb * 1024 * 1024:
+                # drain a bounded amount so the client's in-flight body
+                # write doesn't EPIPE before it reads the 413; beyond
+                # that, close (draining arbitrarily defeats the cap)
+                remaining = min(n, 64 * 1024 * 1024)
+                while remaining > 0:
+                    got = self.rfile.read(min(remaining, 1 << 20))
+                    if not got:
+                        break
+                    remaining -= len(got)
+                self._send(413, f"upload exceeds {max_mb} MB "
+                           "(ATSM_MAX_UPLOAD_MB)".encode(), "text/plain")
+                self.close_connection = True
+                return
             body = self.rfile.read(n)
         except Exception as e:  # noqa: BLE001 - surface to the client
             self._send(400, f"separation failed: {e}".encode(), "text/plain")

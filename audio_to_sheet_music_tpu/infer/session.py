@@ -29,6 +29,20 @@ from . import chunked
 SAMPLE_RATE = 44100
 
 
+@jax.jit
+def _requant_absolute(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Shared-scale wire PCM -> absolute-level int16 (``pcm/32767`` decodes
+    to the float stem, clipped at ±1) in one device elementwise pass."""
+    return jnp.clip(jnp.round(q.astype(jnp.float32) * scale),
+                    -32767, 32767).astype(jnp.int16)
+
+
+@jax.jit
+def _quant_absolute(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * 32767.0),
+                    -32767, 32767).astype(jnp.int16)
+
+
 class Separator:
     """Text-conditioned full-song stem separation."""
 
@@ -146,6 +160,38 @@ class Separator:
         self._sweep_cache[key] = fn
         return fn
 
+    def _get_stream_block_fn(self, block_chunks: int, hop: int,
+                             overlap: int, n_stems: int):
+        """The streaming block program (``infer.StreamingSeparator``),
+        cached HERE so every stream of the same geometry reuses one
+        compiled program (a per-instance ``jax.jit`` would re-trace —
+        and cold-compile — per request) and so the chunk axis gets the
+        same mesh sharding constraint as the offline sweeps."""
+        key = ("stream", block_chunks, self.segment, hop, n_stems)
+        if key in self._sweep_cache:
+            return self._sweep_cache[key]
+        span = (block_chunks - 1) * hop + self.segment
+        grid = chunked.ChunkGrid(segment=self.segment, hop=hop,
+                                 n_chunks=block_chunks, length=span)
+        dtype = self.compute_dtype
+
+        def block(params, song, embs):
+            chunks = chunked.frame_song(song, grid, padded=True)
+            if self.mesh is not None:
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, meshlib.NamedSharding(
+                        self.mesh, meshlib.P(meshlib.DATA_AXIS)))
+            enc = atht.encode_mixture(params, chunks, dtype)
+            stacked = atht.apply_head_multi(params, enc, embs)
+            s_, b_, c_, l_ = stacked.shape
+            flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
+            return chunked.overlap_add_weighted(flat, grid, overlap,
+                                                normalize=False)
+
+        fn = jax.jit(block)
+        self._sweep_cache[key] = fn
+        return fn
+
     def _run_sweep_raw(self, mixture, embs: jnp.ndarray, n_stems: int):
         """-> device result: (q int16 (S*2,T), scale) for pcm16 wire, else a
         (S*2, T) array.  Host never touches full-size arrays (this host's
@@ -206,6 +252,22 @@ class Separator:
         """
         embs = self.text_embedding(prompt)[None]
         return self._run_sweep(mixture, embs, 1)
+
+    def separate_pcm(self, mixture: np.ndarray, prompt: str) -> np.ndarray:
+        """``separate`` delivered as ABSOLUTE-level int16 PCM ``(2, T)``
+        (``sample = pcm / 32767``, clipped at ±1 like any int16 WAV write):
+        the quantisation runs on device and the bytes can be written into a
+        WAV verbatim — zero host-side sample passes (the serving host's
+        single core moves ~7 M elements/s; a float round trip costs
+        seconds per song)."""
+        embs = self.text_embedding(prompt)[None]
+        out = self._run_sweep_raw(mixture, embs, 1)
+        if self.wire_pcm16:
+            q, scale = out
+            q = _requant_absolute(q, scale[0])
+        else:
+            q = _quant_absolute(out)
+        return self._fetch_array(q)
 
     def separate_all(self, mixture: np.ndarray,
                      stems: Sequence[str] = STEM_NAMES

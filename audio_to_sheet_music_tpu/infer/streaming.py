@@ -17,13 +17,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import atht
 from ..text.prompts import STEM_NAMES
-from . import chunked
 
 
 class StreamingSeparator:
@@ -41,6 +38,11 @@ class StreamingSeparator:
                  block_chunks: int = 8):
         self.sep = separator
         self.stems = list(stems)
+        if separator.mesh is not None:
+            # chunk axis shards over the mesh inside the block program —
+            # round the block up so every device gets equal work
+            n_dev = separator.mesh.devices.size
+            block_chunks = -(-block_chunks // n_dev) * n_dev
         self.block_chunks = block_chunks
         self.segment = separator.segment
         # same clamp as plan_chunks: overlap >= segment would make hop <= 0
@@ -55,23 +57,12 @@ class StreamingSeparator:
         self._span = (block_chunks - 1) * self.hop + self.segment
 
     def _get_block_fn(self):
-        if self._block_fn is not None:
-            return self._block_fn
-        grid = chunked.ChunkGrid(segment=self.segment, hop=self.hop,
-                                 n_chunks=self.block_chunks, length=self._span)
-        sep = self.sep
-        n_stems = len(self.stems)
-
-        def block(params, song, embs):
-            chunks = chunked.frame_song(song, grid, padded=True)
-            enc = atht.encode_mixture(params, chunks, sep.compute_dtype)
-            stacked = atht.apply_head_multi(params, enc, embs)  # (S, B, 2, L)
-            s_, b_, c_, l_ = stacked.shape
-            flat = stacked.transpose(1, 0, 2, 3).reshape(b_, s_ * c_, l_)
-            return chunked.overlap_add_weighted(flat, grid, self.overlap,
-                                                normalize=False)
-
-        self._block_fn = jax.jit(block)
+        if self._block_fn is None:
+            # cached on the Separator: streams of the same geometry share
+            # one compiled program, and the chunk axis gets the same mesh
+            # sharding as the offline sweeps
+            self._block_fn = self.sep._get_stream_block_fn(
+                self.block_chunks, self.hop, self.overlap, len(self.stems))
         return self._block_fn
 
     def _emit(self, acc: np.ndarray, wsum: np.ndarray, n: int) -> np.ndarray:

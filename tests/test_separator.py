@@ -227,3 +227,32 @@ class TestSweepFlops:
         fl4 = sep.sweep_flops(22050, n_stems=4)
         # 4 stems reuse the shared encoder, so < 2x but > 1x the head work
         assert fl2 < fl4 < 2.0 * fl2
+
+
+class TestSeparatePcm:
+    """`separate_pcm` (absolute-level device-side int16, the HTTP wav-mode
+    hot path) must agree with `separate` up to int16 quantisation."""
+
+    def test_matches_float_separate(self):
+        params = atht.init_tiny(jax.random.PRNGKey(4))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        rng = np.random.default_rng(9)
+        song = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        ref = np.clip(sep.separate(song, "vocals"), -1.0, 1.0)
+        pcm = sep.separate_pcm(song, "vocals")
+        assert pcm.dtype == np.int16 and pcm.shape == ref.shape
+        # shared-scale wire + device requant: two roundings, <= 2 LSB
+        np.testing.assert_allclose(pcm.astype(np.float32) / 32767.0, ref,
+                                   atol=2.5 / 32767)
+
+    def test_int16_input_fast_path(self):
+        params = atht.init_tiny(jax.random.PRNGKey(4))
+        sep = Separator(params, segment_seconds=0.25, overlap_seconds=0.05,
+                        compute_dtype=jnp.float32)
+        rng = np.random.default_rng(10)
+        song_f = (0.1 * rng.standard_normal((2, 22050))).astype(np.float32)
+        song_i = (song_f * 32768.0).astype(np.int16)
+        a = sep.separate_pcm(song_i, "drums")
+        b = sep.separate_pcm(song_i.astype(np.float32) / 32768.0, "drums")
+        np.testing.assert_array_equal(a, b)

@@ -15,6 +15,7 @@ import io
 import json
 import threading
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import jax
@@ -173,11 +174,43 @@ class TestHttpServer:
 
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             assert sorted(zf.namelist()) == ["extracted_drums.wav",
-                                             "extracted_vocals.wav"]
+                                             "extracted_vocals.wav",
+                                             "scales.json"]
             for name in zf.namelist():
+                if name == "scales.json":
+                    scales = json.loads(zf.read(name))
+                    assert set(scales) == {"extracted_drums.wav",
+                                           "extracted_vocals.wav"}
+                    assert all(s > 0 for s in scales.values())
+                    continue
                 sr, stem = wavfile.read(io.BytesIO(zf.read(name)))
                 assert sr == SR and stem.dtype == np.int16
                 assert stem.shape == (SR // 4, 2)
+
+    def test_separate_all_zip_sanitises_entry_names(self, server):
+        """Free-text prompts must not become traversal-capable zip entry
+        names."""
+        import zipfile
+
+        url, _ = server
+        req = urllib.request.Request(
+            f"{url}/api/separate_all?stems=" +
+            urllib.parse.quote("../../evil,a/b\\c"),
+            data=_make_wav_bytes(t=SR // 4))
+        with urllib.request.urlopen(req, timeout=180) as r:
+            payload = r.read()
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for name in zf.namelist():
+                assert ".." not in name and "/" not in name and "\\" not in name
+
+    def test_oversize_upload_is_413(self, server, monkeypatch):
+        url, _ = server
+        monkeypatch.setenv("ATSM_MAX_UPLOAD_MB", "1")
+        body = b"\x00" * (2 * 1024 * 1024)
+        req = urllib.request.Request(f"{url}/api/separate", data=body)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 413
 
     def test_separate_all_no_stems_is_400(self, server):
         url, _ = server
