@@ -51,3 +51,35 @@ class TestMeshSeparator:
                                    atol=atol)
         np.testing.assert_allclose(dq[1][:, 1:-1], ref["vocals"][:, 1:-1],
                                    atol=atol)
+
+
+class TestMeshStreaming:
+    def test_mesh_streaming_matches_single_device(self):
+        """StreamingSeparator on a mesh: block program shards the chunk
+        axis (via Separator._get_stream_block_fn) and block_chunks rounds
+        up to the device count; emitted audio == the unsharded stream."""
+        from audio_to_sheet_music_tpu.infer.streaming import StreamingSeparator
+
+        params = atht.init_tiny(jax.random.PRNGKey(1))
+        mesh = make_mesh()
+        kw = dict(segment_seconds=0.25, overlap_seconds=0.05,
+                  compute_dtype=jnp.float32)
+        single = Separator(params, **kw)
+        sharded = Separator(params, mesh=mesh, **kw)
+
+        rng = np.random.default_rng(2)
+        song = (0.1 * rng.standard_normal((2, 3 * 11025))).astype(np.float32)
+
+        def run(sep, block_chunks):
+            st = StreamingSeparator(sep, stems=("vocals",),
+                                    block_chunks=block_chunks)
+            pieces = st.feed(song)
+            pieces.append(st.flush())
+            return np.concatenate([p[0] for p in pieces], axis=-1)
+
+        a = run(single, 8)
+        b = run(sharded, 5)         # rounds up to 8 on the 8-device mesh
+        st = StreamingSeparator(sharded, stems=("vocals",), block_chunks=5)
+        assert st.block_chunks == 8
+        assert a.shape == b.shape == song.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
