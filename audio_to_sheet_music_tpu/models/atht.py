@@ -185,7 +185,10 @@ def _freq_layer_down4(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
         s1 = zm.sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1)
         s2 = (zf * zm).sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1)
         mean = s1 / count
-        var = s2 / count - jnp.square(mean)
+        # E[x^2] - mean^2 can cancel slightly NEGATIVE in f32 when the
+        # activations are near-constant (|mean| >> std) — the two-pass
+        # squared-deviation form can't.  Clamp before rsqrt or this NaNs.
+        var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
         gam = nrm["weight"].reshape(1, o_ch, 1, 1)
         bet = nrm["bias"].reshape(1, o_ch, 1, 1)

@@ -56,7 +56,10 @@ _MATMUL_FFT: bool | None = None   # None = auto (TPU yes, CPU no)
 def use_matmul_fft() -> bool:
     if _MATMUL_FFT is not None:
         return _MATMUL_FFT
-    return jax.default_backend() not in ("cpu",)
+    # TPU-class backends only ('axon' is the tunneled TPU plugin): CPU and
+    # GPU keep their exact native FFTs (pocketfft / cuFFT) — the matmul-DFT
+    # exists because TPUs have no FFT unit, not as a general replacement.
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _use_pallas_stft(n_fft: int, hop: int) -> bool:
@@ -334,11 +337,16 @@ def _istft_segments(zr: jnp.ndarray, zi: jnp.ndarray, n_fft: int,
     ``(..., (n_frames + ratio - 1) * hop)`` (pre-envelope-division)."""
     ratio = n_fft // hop
     lead = zr.shape[:-2]
+    n_seg = zr.shape[-2] + ratio - 1
+    # pad ONCE (not per phase): segment m reads frame m - j, i.e. phase j's
+    # operand is a shifted window of the same padded tensor — slices are
+    # views, so this materialises 2 padded copies instead of 2*ratio
+    pad = [(0, 0)] * (zr.ndim - 2) + [(ratio - 1, ratio - 1), (0, 0)]
+    zr_p, zi_p = jnp.pad(zr, pad), jnp.pad(zi, pad)
     for j, (wr, wi) in enumerate(_istft_seg_consts(n_fft, hop)):
-        # segment m reads frame m - j: front-pad j frames, back-pad rest
-        pad = [(0, 0)] * (zr.ndim - 2) + [(j, ratio - 1 - j), (0, 0)]
-        contrib = (_mm(jnp.pad(zr, pad), jnp.asarray(wr))
-                   + _mm(jnp.pad(zi, pad), jnp.asarray(wi)))
+        s = ratio - 1 - j
+        contrib = (_mm(zr_p[..., s : s + n_seg, :], jnp.asarray(wr))
+                   + _mm(zi_p[..., s : s + n_seg, :], jnp.asarray(wi)))
         acc = contrib if j == 0 else acc + contrib
     return acc.reshape(*lead, -1)
 
@@ -366,6 +374,12 @@ def istft(
     sig = sig[..., n_fft // 2 :]
     env = env[n_fft // 2 :]
     if length is not None:
+        if length > sig.shape[-1]:
+            # torch.istft parity: requesting more than the synthesizable
+            # span zero-pads the tail to exactly `length`
+            extra = length - sig.shape[-1]
+            sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1) + [(0, extra)])
+            env = jnp.pad(env, [(0, extra)], constant_values=1.0)
         sig = sig[..., :length]
         env = env[:length]
     else:
@@ -436,4 +450,7 @@ def spectrogram_db(
     z = stft(jnp.asarray(x, dtype=jnp.float32), n_fft, hop)
     power = jnp.abs(z) ** 2
     db = 10.0 * jnp.log10(jnp.maximum(power, 1e-10))
-    return jnp.maximum(db, db.max() - top_db)
+    # per-spectrogram max (the reference applies amplitude_to_db per item,
+    # so a quiet track's floor must not ride a loud batchmate's peak)
+    peak = db.max(axis=(-2, -1), keepdims=True)
+    return jnp.maximum(db, peak - top_db)
