@@ -281,3 +281,15 @@ class TestFusedIstft:
             d._MATMUL_FFT = None
             d.istft._clear_cache()
         np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_istft_tail_pad_to_requested_length(rng):
+    """torch.istft parity: length beyond the synthesizable span zero-pads
+    the tail instead of silently returning fewer samples."""
+    x = (0.3 * rng.standard_normal((2, 256 * 20))).astype(np.float32)
+    z = dsp.stft(jnp.asarray(x), 1024, 256)
+    span = x.shape[-1]
+    y = np.asarray(dsp.istft(z, span + 5000, 1024, 256))
+    assert y.shape == (2, span + 5000)
+    np.testing.assert_allclose(y[:, :span], x, atol=2e-4)
+    np.testing.assert_array_equal(y[:, -4000:], 0.0)
