@@ -35,11 +35,38 @@ SAMPLE_RATE = 44100
 TARGET_REALTIME = 50.0  # BASELINE.json north star, 4-stem realtime per chip
 
 
+def _init_watchdog(seconds: float):
+    """Fail FAST if TPU backend init hangs (a wedged tunnel can block
+    ``jax.devices()`` indefinitely — observed for hours); a clean exit
+    beats an orphaned hang for whoever scheduled the bench.  Returns a
+    cancel() callable; tune with ``ATSM_BENCH_INIT_TIMEOUT`` (0 off)."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(f"bench: device init exceeded {seconds:.0f}s "
+                  "(wedged tunnel?) — aborting", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def main() -> None:
+    import os
+
     from audio_to_sheet_music_tpu.infer import Separator
     from audio_to_sheet_music_tpu.models import atht
     from audio_to_sheet_music_tpu.text.prompts import STEM_NAMES
 
+    timeout_s = float(os.environ.get("ATSM_BENCH_INIT_TIMEOUT", "300"))
+    cancel = _init_watchdog(timeout_s) if timeout_s > 0 else (lambda: None)
+    jax.devices()                      # first backend touch, under watchdog
+    cancel()
     params = atht.init(jax.random.PRNGKey(0))
     sep = Separator(params)
 
