@@ -26,6 +26,7 @@ deterministic or random segment choice (:86-121), random prompt per sample
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 from pathlib import Path
@@ -105,7 +106,11 @@ def build_cache(src_dir: str | Path, cache_dir: str | Path) -> List[Track]:
     for track in discover_tracks(src_dir):
         dst = cache_dir / f"{track.name}.npy"
         if not dst.exists():
-            np.save(dst, track.load(mmap=False))
+            # atomic: an interrupted save must not leave a truncated file
+            # that later runs treat as a valid cache
+            tmp = dst.with_suffix(f".{os.getpid()}.tmp.npy")
+            np.save(tmp, track.load(mmap=False))
+            os.replace(tmp, dst)
         out.append(Track(track.name, dst, "npy"))
     return out
 
@@ -228,26 +233,35 @@ class BatchLoader:
         # iterator (e.g. max_steps_per_epoch) so the producer exits instead
         # of blocking on a full queue forever (thread + batch leak)
 
+        error: list[BaseException] = []
+
         def producer():
-            for b in range(n_batches):
-                if stop.is_set():
-                    return
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                batch = self._make_batch(idxs)
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size
+                                 : (b + 1) * self.batch_size]
+                    batch = self._make_batch(idxs)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                error.append(e)
+            finally:
+                # sentinel must ALWAYS be delivered (a dataset/tokenizer
+                # failure without it would leave the consumer in q.get()
+                # forever) and must stay abortable: the consumer may
+                # abandon the iterator while the queue is full
                 while not stop.is_set():
                     try:
-                        q.put(batch, timeout=0.2)
+                        q.put(None, timeout=0.2)
                         break
                     except queue.Full:
                         continue
-            # sentinel must also be abortable: the consumer may abandon the
-            # iterator after the final batch while the queue is full
-            while not stop.is_set():
-                try:
-                    q.put(None, timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -255,6 +269,9 @@ class BatchLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    if error:
+                        raise RuntimeError(
+                            "BatchLoader producer failed") from error[0]
                     break
                 yield batch
         finally:

@@ -85,6 +85,14 @@ bool parse_npy(const char* path, Track* out) {
     munmap(base, st.st_size);
     return false;
   }
+  // a truncated cache (interrupted write) keeps its intact header but not
+  // the payload: reading past the mapping is SIGBUS, so validate the size
+  size_t need = header_off + header_len
+      + static_cast<size_t>(d0) * d1 * d2 * sizeof(float);
+  if (static_cast<size_t>(st.st_size) < need) {
+    munmap(base, st.st_size);
+    return false;
+  }
   out->map_base = base;
   out->mapped_size = st.st_size;
   out->data = reinterpret_cast<const float*>(p + header_off + header_len);
@@ -135,6 +143,8 @@ class Loader {
   int64_t epoch_size() const {
     return static_cast<int64_t>(index_.size()) / batch_;
   }
+
+  int track_count() const { return static_cast<int>(tracks_.size()); }
 
   void reset(uint64_t epoch_seed) {
     stop();
@@ -234,11 +244,17 @@ class Loader {
   }
 
   void work(int worker_id, uint64_t epoch_seed) {
-    std::mt19937_64 rng(epoch_seed * 0x9E3779B97F4A7C15ull + worker_id);
+    (void)worker_id;
     const int64_t n_batches = epoch_size();
     while (true) {
       int64_t b = next_batch_to_produce_.fetch_add(1);
       if (b >= n_batches) break;
+      // per-BATCH deterministic RNG stream: which worker grabs batch b is
+      // scheduling-dependent, so a per-worker stream broke seeded
+      // reproducibility across runs; per-batch streams make segment
+      // starts and augmentation draws identical for ANY n_threads
+      std::mt19937_64 rng(epoch_seed * 0x9E3779B97F4A7C15ull +
+                          0xD1B54A32D192ED03ull * static_cast<uint64_t>(b + 1));
       Batch batch;
       batch.mixture.resize(batch_ * 2 * segment_);
       batch.target.resize(batch_ * 2 * segment_);
@@ -299,6 +315,10 @@ void* sl_create(const char** paths, int n_paths, long segment, int batch,
 }
 
 long sl_epoch_size(void* h) { return static_cast<Loader*>(h)->epoch_size(); }
+
+// tracks that actually parsed — callers compare against the path count to
+// surface corrupt caches instead of silently training on a shrunken set
+long sl_track_count(void* h) { return static_cast<Loader*>(h)->track_count(); }
 
 int sl_next(void* h, float* mix, float* tgt, int32_t* stem_idx) {
   return static_cast<Loader*>(h)->next(mix, tgt, stem_idx) ? 1 : 0;

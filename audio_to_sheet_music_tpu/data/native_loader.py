@@ -43,11 +43,21 @@ def _load_lib():
                 import os
 
                 tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-pthread", str(_SRC), "-o", str(tmp)],
-                    check=True, capture_output=True, text=True)
-                os.replace(tmp, _LIB)
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                         "-pthread", str(_SRC), "-o", str(tmp)],
+                        check=True, capture_output=True, text=True)
+                    os.replace(tmp, _LIB)
+                except (subprocess.CalledProcessError, OSError) as e:
+                    if not _LIB.exists():
+                        raise
+                    # a prebuilt .so exists (e.g. fresh checkout with
+                    # arbitrary sub-second mtime ordering, no toolchain):
+                    # use it rather than silently dropping to the slow
+                    # Python loader
+                    print(f"native_loader: rebuild failed ({e}); using the "
+                          f"existing prebuilt {_LIB.name}", flush=True)
             lib = ctypes.CDLL(str(_LIB))
             lib.sl_create.restype = ctypes.c_void_p
             lib.sl_create.argtypes = [
@@ -62,6 +72,8 @@ def _load_lib():
                                     ctypes.POINTER(ctypes.c_float),
                                     ctypes.POINTER(ctypes.c_int32)]
             lib.sl_reset.argtypes = [ctypes.c_void_p, ctypes.c_ulong]
+            lib.sl_track_count.restype = ctypes.c_long
+            lib.sl_track_count.argtypes = [ctypes.c_void_p]
             lib.sl_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
         except (subprocess.CalledProcessError, OSError) as e:
@@ -96,6 +108,15 @@ class NativeBatchLoader:
         self._h = lib.sl_create(arr, len(paths), self.segment, self.batch,
                                 seed, n_threads, int(augment),
                                 int(random_segments))
+        loaded = int(lib.sl_track_count(self._h))
+        if loaded < len(paths):
+            # mirror the Python path, which raises on corrupt caches —
+            # never silently train on a shrunken dataset
+            lib.sl_destroy(self._h)
+            self._h = None
+            raise RuntimeError(
+                f"native loader parsed only {loaded}/{len(paths)} track "
+                "caches (corrupt/truncated .npy? see stderr for names)")
         self._n_batches = int(lib.sl_epoch_size(self._h))
         # token table: pre-tokenise every prompt variant once
         all_prompts = [p for ps in STEM_PROMPTS.values() for p in ps]

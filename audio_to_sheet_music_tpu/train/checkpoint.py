@@ -101,6 +101,15 @@ def load_head_params(path: str | Path, params: Any) -> Any:
         raise ValueError(
             f"checkpoint head has {len(flat_saved)} arrays, model head "
             f"expects {treedef.num_leaves} — architecture mismatch")
+    # per-leaf shape check: equal leaf COUNTS with different structures
+    # (renamed keys, reordered layers) would otherwise graft silently
+    # corrupted weights or blow up later at forward time
+    for i, (saved, want) in enumerate(zip(flat_saved,
+                                          jax.tree.leaves(template))):
+        if tuple(np.shape(saved)) != tuple(np.shape(want)):
+            raise ValueError(
+                f"checkpoint head leaf {i} has shape {np.shape(saved)}, "
+                f"model expects {np.shape(want)} — architecture mismatch")
     new_head = jax.tree.unflatten(
         treedef, [jnp.asarray(a) for a in flat_saved])
     out = dict(params)

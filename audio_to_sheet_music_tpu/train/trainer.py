@@ -49,7 +49,9 @@ class MetricLogger:
 
                 self._wandb = wandb.init(project=cfg.wandb.project,
                                          name=cfg.wandb.run_name)
-            except Exception:
+            except Exception as e:  # noqa: BLE001 - degrade loudly
+                print(f"WARNING: use_wandb=True but wandb.init failed "
+                      f"({e}); metrics go to JSONL only", flush=True)
                 self._wandb = None
 
     def log(self, metrics: Mapping[str, float], step: int) -> None:
@@ -113,7 +115,17 @@ def train(cfg: Config, params=None, mesh=None,
     tokenizer = default_tokenizer(require_real=pretrained)
 
     train_tracks = discover_tracks(cfg.data.train_dir)
-    val_tracks = discover_tracks(cfg.data.test_dir) or train_tracks
+    val_tracks = discover_tracks(cfg.data.test_dir)
+    if not val_tracks:
+        # last-resort fallback (keeps smoke runs alive), but NEVER silent:
+        # validating on train data inflates val/sdr and picks the "best"
+        # checkpoint by train-set fit — the reference bug (src/train.py:452)
+        # this trainer exists to fix
+        print(f"WARNING: no validation tracks found under "
+              f"{cfg.data.test_dir!r}; validating on TRAINING tracks — "
+              "val/sdr and best-checkpoint selection are unreliable",
+              flush=True)
+        val_tracks = train_tracks
     seg = cfg.data.segment_samples
 
     def make_train_loader():
@@ -144,6 +156,13 @@ def train(cfg: Config, params=None, mesh=None,
                      seed=1)
     val_loader = BatchLoader(val_ds, cfg.training.batch_size, tokenizer,
                              shuffle=False)
+    if len(val_loader) == 0:
+        # drop_last batching: fewer val samples than batch_size -> zero val
+        # batches -> val_sdr stays NaN and checkpoints/best is never
+        # written.  Make that failure mode loud.
+        print(f"WARNING: validation set ({len(val_ds)} samples) is smaller "
+              f"than batch_size={cfg.training.batch_size}; no val batches "
+              "will run and no 'best' checkpoint will be selected", flush=True)
 
     steps_per_epoch = min(len(train_loader), max_steps_per_epoch or 10**9)
     total_steps = max(1, steps_per_epoch * cfg.training.num_epochs)
