@@ -17,6 +17,8 @@ import argparse
 import json
 from pathlib import Path
 
+import numpy as np
+
 
 
 def load_track(path: Path):
@@ -32,6 +34,13 @@ def load_track(path: Path):
         arr = Track(path.name, path, "wav_dir").load(mmap=False)
         return arr[0], {s: arr[1 + i] for i, s in enumerate(STEM_NAMES)}
     if path.suffix == ".wav":
+        # 16-bit 44.1 kHz stereo (the common case) stays int16: half the
+        # upload bytes and the int16->float conversion runs on DEVICE
+        # (Separator accepts int16 mixtures) — this host's single core
+        # makes a float pass the dominant pre-separation cost
+        sr, pcm = audio_io.read_wav_pcm(path)
+        if sr == 44100 and pcm.dtype == np.int16 and pcm.shape[0] == 2:
+            return pcm, None
         sr, wav = audio_io.read_wav(path)
         wav = audio_io.to_stereo(audio_io.resample(wav, sr))
         return wav, None
@@ -68,16 +77,26 @@ def main() -> None:
                     pretrained=pretrained)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    audio_io.write_wav(out_dir / "mixture.wav", mixture)
+    if mixture.dtype == np.int16:     # int16 fast path: bytes verbatim
+        audio_io.write_wav_pcm(out_dir / "mixture.wav", mixture, 1.0)
+    else:
+        audio_io.write_wav(out_dir / "mixture.wav", mixture)
 
     report = {}
     if gt_stems is None and not args.plots:
-        # Fast serving path: PCM bytes straight from the device to the WAVs.
-        pcm, scales = sep.separate_all_pcm(mixture, stems=args.stems)
+        # Fast serving path: PCM bytes straight from the device to the
+        # WAVs.  absolute=True quantises at absolute level on device, so
+        # these WAVs play at the SAME loudness as the float path below
+        # (and as the reference's soundfile outputs) — the flag must not
+        # change audio levels.
+        pcm, scales = sep.separate_all_pcm(mixture, stems=args.stems,
+                                           absolute=True)
         for i, stem in enumerate(args.stems):
             audio_io.write_wav_pcm(out_dir / f"extracted_{stem}.wav",
                                    pcm[i], float(scales[i]))
     else:
+        if mixture.dtype == np.int16:
+            mixture = mixture.astype(np.float32) / 32768.0
         outs = sep.separate_all(mixture, stems=args.stems)
         for stem, est in outs.items():
             audio_io.write_wav(out_dir / f"extracted_{stem}.wav", est)

@@ -37,6 +37,12 @@ def main() -> None:
     tracks = discover_tracks(args.test_dir)
     if args.tracks:
         tracks = [t for t in tracks if t.name in set(args.tracks)]
+    if not tracks:
+        # a --tracks typo (or an empty dir) must not exit 0 having
+        # silently written nothing
+        raise SystemExit(f"no matching tracks under {args.test_dir!r}"
+                         + (f" for names {args.tracks}" if args.tracks
+                            else ""))
     out_root = Path(args.output_dir)
     for track in tracks:
         arr = track.load(mmap=False)

@@ -3,6 +3,7 @@
 from .harness import (  # noqa: F401
     TrackResult,
     aggregate_results,
+    compute_metrics,
     compute_sdr,
     compute_sisdr,
     evaluate_model,
@@ -10,4 +11,9 @@ from .harness import (  # noqa: F401
     format_results_table,
     save_results,
 )
-from .models import HTDemucsBaseline, OursModel, SeparationModel  # noqa: F401
+from .models import (  # noqa: F401
+    CLAPSepModel,
+    HTDemucsBaseline,
+    OursModel,
+    SeparationModel,
+)

@@ -21,11 +21,28 @@ import traceback
 from pathlib import Path
 from typing import Callable, Dict, List, Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import losses
 from ..text.prompts import STEM_NAMES
+
+
+@jax.jit
+def _both_metrics(est: jnp.ndarray, ref: jnp.ndarray):
+    """One program, one upload each for (SDR, SI-SDR) — the unjitted
+    per-metric form re-uploaded both full tracks per metric (4 H2D
+    transfers/stem, ~45 s/track of pure transfer on this tunnel)."""
+    return (-losses.sdr_loss(est, ref), -losses.sisdr_loss(est, ref))
+
+
+def compute_metrics(estimate: np.ndarray,
+                    reference: np.ndarray) -> tuple[float, float]:
+    """-> (SDR, SI-SDR) in dB for (C, T) inputs, single upload + program."""
+    sdr, sisdr = _both_metrics(jnp.asarray(estimate)[None],
+                               jnp.asarray(reference)[None])
+    return float(sdr), float(sisdr)
 
 
 def compute_sdr(estimate: np.ndarray, reference: np.ndarray) -> float:
@@ -35,13 +52,11 @@ def compute_sdr(estimate: np.ndarray, reference: np.ndarray) -> float:
     negates its clamped training loss (`benchmark.py:569` -> `src/loss.py:
     9-30`), so eval numbers diff directly against `eval_results/*.json`
     only with the clamp in place."""
-    return float(-losses.sdr_loss(jnp.asarray(estimate)[None],
-                                  jnp.asarray(reference)[None]))
+    return compute_metrics(estimate, reference)[0]
 
 
 def compute_sisdr(estimate: np.ndarray, reference: np.ndarray) -> float:
-    return float(-losses.sisdr_loss(jnp.asarray(estimate)[None],
-                                    jnp.asarray(reference)[None]))
+    return compute_metrics(estimate, reference)[1]
 
 
 @dataclasses.dataclass
@@ -65,8 +80,7 @@ def evaluate_model_on_track(
     for stem in stems:
         est, ref = np.asarray(estimated[stem]), np.asarray(reference_stems[stem])
         t = min(est.shape[-1], ref.shape[-1])
-        sdr[stem] = compute_sdr(est[:, :t], ref[:, :t])
-        sisdr[stem] = compute_sisdr(est[:, :t], ref[:, :t])
+        sdr[stem], sisdr[stem] = compute_metrics(est[:, :t], ref[:, :t])
     sdr["average"] = float(np.mean([sdr[s] for s in stems]))
     sisdr["average"] = float(np.mean([sisdr[s] for s in stems]))
     return TrackResult(track_name, model_name, sdr, sisdr)
@@ -138,6 +152,17 @@ def save_results(all_results: Mapping[str, Sequence[TrackResult]],
             ],
             "aggregate": aggregate_results(results, stems),
         }
+    def _null_nan(obj):
+        # json.dumps writes bare ``NaN`` (invalid strict JSON — jq and the
+        # diff-against-reference workflow choke); emit null instead
+        if isinstance(obj, dict):
+            return {k: _null_nan(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [_null_nan(v) for v in obj]
+        if isinstance(obj, float) and not np.isfinite(obj):
+            return None
+        return obj
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(payload, indent=2))
+    path.write_text(json.dumps(_null_nan(payload), indent=2))

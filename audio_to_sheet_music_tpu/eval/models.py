@@ -59,20 +59,28 @@ class HTDemucsBaseline(SeparationModel):
     name = "HTDemucs (pretrained)"
 
     def __init__(self, params, segment_seconds: float = 7.8,
-                 overlap_ratio: float = 0.25, compute_dtype=jnp.bfloat16,
+                 overlap_ratio: float = 0.25, compute_dtype=None,
                  sample_rate: int = 44100):
         self.params = params
         self.segment = int(segment_seconds * sample_rate)
         self.overlap = int(self.segment * overlap_ratio)
+        if compute_dtype is None:
+            # bf16 is native on TPU but emulated (pathologically slow) on
+            # CPU — same per-backend pick as infer.Separator
+            compute_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                             else jnp.bfloat16)
         self.compute_dtype = compute_dtype
 
         @jax.jit
         def fwd(params, chunks):
-            return htdemucs.forward(params, chunks)
+            return htdemucs.forward(params, chunks,
+                                    compute_dtype=self.compute_dtype)
 
         self._fwd = fwd
 
     def separate_all(self, mixture) -> Dict[str, np.ndarray]:
+        from ..infer.session import Separator
+
         mix = jnp.asarray(np.asarray(mixture, np.float32))
 
         def forward_stems(chunks):            # (n, 2, L) -> (n, 8, L)
@@ -82,7 +90,9 @@ class HTDemucsBaseline(SeparationModel):
 
         flat = chunked.separate_chunked(forward_stems, mix, self.segment,
                                         self.overlap)
-        out = np.asarray(flat).reshape(len(STEM_NAMES), 2, -1)
+        # multi-stream D2H: the tunnel is per-stream limited (~2-3x slower
+        # on one stream for this (8, T) full-track payload)
+        out = Separator._fetch_array(flat).reshape(len(STEM_NAMES), 2, -1)
         return {stem: out[i] for i, stem in enumerate(STEM_NAMES)}
 
     def separate(self, mixture, stem):
@@ -172,7 +182,9 @@ class CLAPSepModel(SeparationModel):
         ov = int(self.overlap_seconds * SR32)
 
         pos = self._text_embedding(CLAPSEP_PROMPTS.get(stem, stem))[None]
-        neg = self._text_embedding("")[None]            # empty negative query
+        # EMPTY negative query is the reference's own protocol
+        # (`benchmark.py:475`: `neg_prompt = ""  # Empty negative prompt`)
+        neg = self._text_embedding("")[None]
 
         grid = chunked.plan_chunks(mono32.shape[-1], seg, ov, bucket=2)
         chunks = chunked.frame_song(jnp.asarray(mono32), grid)   # (n, 1, L)

@@ -281,8 +281,14 @@ class Separator:
 
     def separate_all_pcm(self, mixture: np.ndarray,
                          stems: Sequence[str] = STEM_NAMES,
-                         group_chunks: int = 4):
+                         group_chunks: int = 4, absolute: bool = False):
         """All stems as 16-bit PCM: ``(pcm int16 (S, 2, T), scales (S,))``.
+
+        ``absolute=True`` quantises at absolute level (``scale = 1``:
+        ``pcm/32767`` decodes to the float stem, clipped at ±1 exactly like
+        a float->int16 WAV write) so the bytes match the reference's
+        soundfile outputs verbatim; the default shared ``2x peak`` scale
+        keeps one bit of inter-stem headroom instead.
 
         The zero-copy serving path: quantisation happens on device
         (``sample_value = pcm * scale / 32767``); the host only receives PCM
@@ -317,16 +323,23 @@ class Separator:
         n_stems = len(stems)
         song = np.ascontiguousarray(mixture)
         length = int(song.shape[-1])
-        # Shared scale, host-side (one vectorised pass over the raw samples
-        # is cheap; everything per-sample AFTER separation stays on device).
-        if song.dtype == np.int16:
-            peak = max(int(song.max(initial=0)), -int(song.min(initial=0)))
-            peak = peak / 32768.0
+        if absolute:
+            scale = 1.0
+            if song.dtype != np.int16:
+                song = song.astype(np.float32, copy=False)
         else:
-            song = song.astype(np.float32, copy=False)
-            peak = max(float(song.max(initial=0.0)),
-                       -float(song.min(initial=0.0)))
-        scale = max(2.0 * peak, 1e-8)
+            # Shared scale, host-side (one vectorised pass over the raw
+            # samples is cheap; everything per-sample AFTER separation
+            # stays on device).
+            if song.dtype == np.int16:
+                peak = max(int(song.max(initial=0)),
+                           -int(song.min(initial=0)))
+                peak = peak / 32768.0
+            else:
+                song = song.astype(np.float32, copy=False)
+                peak = max(float(song.max(initial=0.0)),
+                           -float(song.min(initial=0.0)))
+            scale = max(2.0 * peak, 1e-8)
 
         grid = chunked.plan_chunks(length, self.segment, self.overlap,
                                    self.bucket)

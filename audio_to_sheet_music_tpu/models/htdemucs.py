@@ -460,16 +460,21 @@ def encode(p: Params, x: jnp.ndarray, xt: jnp.ndarray
     return x, xt, saved, saved_t, lengths, lengths_t
 
 
-def forward(p: Params, mix: jnp.ndarray) -> jnp.ndarray:
+def forward(p: Params, mix: jnp.ndarray,
+            compute_dtype=None) -> jnp.ndarray:
     """Full frozen HTDemucs: ``(B, 2, T) -> (B, 4 sources, 2, T)``.
 
     Used by the benchmark's HTDemucs baseline (reference `benchmark.py:222-266`
-    runs this via ``demucs.apply_model``).
+    runs this via ``demucs.apply_model``).  ``compute_dtype`` (e.g. bf16 on
+    TPU) casts the tower inputs after the f32 DSP front-end, mirroring
+    ``atht.encode_mixture``; the DSP/normalisation stays f32 either way.
     """
     length = mix.shape[-1]
     z, mag, x, xt, mean, std, meant, stdt = normalize_inputs(mix)
     b, _, fq, tspec = x.shape
 
+    if compute_dtype is not None:
+        x, xt = x.astype(compute_dtype), xt.astype(compute_dtype)
     x, xt, saved, saved_t, lengths, lengths_t = encode(p, x, xt)
 
     n_layers = len(p["decoder"])
