@@ -37,7 +37,7 @@ def train_main() -> None:
 def benchmark_main() -> None:
     ap = argparse.ArgumentParser(description="MusDB18 separation benchmark")
     ap.add_argument("--models", nargs="+", default=["ours"],
-                    choices=["ours", "htdemucs", "clapsep"])
+                    choices=["ours", "ours-random", "htdemucs", "clapsep"])
     ap.add_argument("--config", default="config.yaml")
     ap.add_argument("--test-dir", default=None)
     ap.add_argument("--output-dir", default="results")
@@ -82,6 +82,13 @@ def benchmark_main() -> None:
             if name == "ours":
                 registry["AudioTextHTDemucs (Ours)"] = OursModel(
                     params, pretrained=pretrained)
+            elif name == "ours-random":
+                # ablation row: same model, random head (no committed demo
+                # head, no checkpoint) — the trained-vs-random delta is the
+                # artifact's learning evidence
+                rnd = atht.init_from_env(jax.random.PRNGKey(0))
+                registry["AudioTextHTDemucs (Ours, random head)"] = OursModel(
+                    rnd, pretrained=False)
             elif name == "htdemucs":
                 registry["HTDemucs (pretrained)"] = HTDemucsBaseline(
                     params["htdemucs"])

@@ -320,7 +320,38 @@ def load_params(checkpoint: str | None, key=None) -> Tuple[Params, bool]:
             from ..train.checkpoint import load_params_npz
 
             params = load_params_npz(checkpoint, params)
+    else:
+        params = _graft_default_head(params)
     return params, False
+
+
+def _default_head_path() -> "os.PathLike | None":
+    """The committed demo head (``artifacts/trained_head.npz``): ~3 M head
+    params trained on the synthetic fixture stems over the deterministic
+    PRNGKey(0) towers (``scripts/learning_proof.py``).  Demos/serving get a
+    model that actually separates instead of random init; disable with
+    ``ATSM_NO_DEFAULT_HEAD=1``.  Tiny-model runs skip it (widths differ)."""
+    import os
+    import pathlib
+
+    if os.environ.get("ATSM_NO_DEFAULT_HEAD") == "1":
+        return None
+    if os.environ.get("ATSM_TINY_MODEL") == "1":
+        return None
+    p = pathlib.Path(__file__).resolve().parents[2] / "artifacts" / "trained_head.npz"
+    return p if p.exists() else None
+
+
+def _graft_default_head(params: Params) -> Params:
+    path = _default_head_path()
+    if path is None:
+        return params
+    from ..train.checkpoint import load_params_npz
+
+    head = load_params_npz(path, params["head"])
+    for a, b in zip(jax.tree.leaves(head), jax.tree.leaves(params["head"])):
+        assert a.shape == b.shape, (a.shape, b.shape)
+    return {**params, "head": head}
 
 
 def init_tiny(key) -> Params:

@@ -146,11 +146,30 @@ def _dconv_freq(p: Params, y: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(b, f, c, t).transpose(0, 2, 1, 3)
 
 
+def _use_fast_enc() -> bool:
+    """Opt-in packed lowering for tile-starved shallow convs
+    (``ATSM_FAST_ENC=1``; see ops/packed_conv.py and the A/B in
+    scripts/profile_enc_ablate.py)."""
+    import os
+
+    return os.environ.get("ATSM_FAST_ENC") == "1"
+
+
 def henc_layer_apply(p: Params, x: jnp.ndarray, freq: bool,
                      inject: jnp.ndarray | None = None) -> jnp.ndarray:
     """HEncLayer: strided conv -> (+inject) -> GELU -> DConv -> rewrite+GLU."""
     if freq:
-        y = nn.conv2d(p["conv"], x, stride=(STRIDE, 1), padding=(KERNEL // 4, 0))
+        from ..ops import packed_conv
+
+        cin = x.shape[1]
+        if (_use_fast_enc()
+                and packed_conv.supports(cin, KERNEL, STRIDE, x.shape[2],
+                                         KERNEL // 4)):
+            y = packed_conv.packed_freq_conv(p["conv"], x, KERNEL, STRIDE,
+                                             KERNEL // 4)
+        else:
+            y = nn.conv2d(p["conv"], x, stride=(STRIDE, 1),
+                          padding=(KERNEL // 4, 0))
     else:
         t = x.shape[-1]
         if t % STRIDE != 0:
@@ -279,12 +298,39 @@ def _group_norm_tokens(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return nn.group_norm(p, x.transpose(0, 2, 1), 1).transpose(0, 2, 1)
 
 
+def _use_pallas_attn(dim: int) -> bool:
+    """Opt-in fused attention-block kernel (``ATSM_PALLAS_ATTN=1``, TPU
+    only): keeps scores/softmax/AV/out-proj/residual on-chip instead of
+    round-tripping the (B, H, L, S) score matrix through HBM."""
+    import os
+
+    if os.environ.get("ATSM_PALLAS_ATTN") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from ..ops import pallas_attn
+
+    return pallas_attn.supports(dim, _n_heads(dim))
+
+
+def _attn_residual(p: Params, attn_key: str, x_res: jnp.ndarray,
+                   q_in: jnp.ndarray, kv_in: jnp.ndarray) -> jnp.ndarray:
+    """``x_res + LayerScale(MHA(q_in, kv_in, kv_in))`` — XLA or fused."""
+    heads = _n_heads(x_res.shape[-1])
+    if _use_pallas_attn(x_res.shape[-1]):
+        from ..ops import pallas_attn
+
+        return pallas_attn.mha_residual(p[attn_key], p["gamma_1"], x_res,
+                                        q_in, kv_in, heads)
+    return x_res + nn.layer_scale(
+        p["gamma_1"], mha(p[attn_key], q_in, kv_in, kv_in, heads),
+        channel_last=True)
+
+
 def _self_layer_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Pre-LN self-attention layer with LayerScale + GroupNorm out."""
     h = nn.layer_norm(p["norm1"], x)
-    x = x + nn.layer_scale(p["gamma_1"],
-                           mha(p["self_attn"], h, h, h, _n_heads(x.shape[-1])),
-                           channel_last=True)
+    x = _attn_residual(p, "self_attn", x, h, h)
     x = x + nn.layer_scale(p["gamma_2"], _ff(p, nn.layer_norm(p["norm2"], x)),
                            channel_last=True)
     return _group_norm_tokens(p["norm_out"], x)
@@ -294,9 +340,7 @@ def _cross_layer_apply(p: Params, q: jnp.ndarray, mem: jnp.ndarray) -> jnp.ndarr
     """Pre-LN cross-attention layer: q attends to the other branch."""
     qn = nn.layer_norm(p["norm1"], q)
     mn = nn.layer_norm(p["norm2"], mem)
-    x = q + nn.layer_scale(p["gamma_1"],
-                           mha(p["cross_attn"], qn, mn, mn, _n_heads(q.shape[-1])),
-                           channel_last=True)
+    x = _attn_residual(p, "cross_attn", q, qn, mn)
     x = x + nn.layer_scale(p["gamma_2"], _ff(p, nn.layer_norm(p["norm3"], x)),
                            channel_last=True)
     return _group_norm_tokens(p["norm_out"], x)

@@ -1,0 +1,71 @@
+"""Packed small-channel conv lowering == the exact XLA conv.
+
+The ``ATSM_FAST_ENC=1`` fast path is a pure weight relayout + matmul, so in
+f32 it must match ``nn.conv2d`` to float-associativity tolerance, at the
+real layer-0 geometry and at property-style odd geometries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_to_sheet_music_tpu.models import htdemucs
+from audio_to_sheet_music_tpu.nn import core as nn
+from audio_to_sheet_music_tpu.ops import packed_conv
+
+
+@pytest.mark.parametrize("cin,co,f,t,k,s,pad,g", [
+    (4, 48, 2048, 7, 8, 4, 2, 4),      # real freq layer-0 geometry
+    (4, 48, 128, 5, 8, 4, 2, 4),
+    (2, 8, 64, 3, 8, 4, 2, 4),
+    (4, 16, 96, 4, 4, 2, 1, 2),        # k/s=2, smaller stride
+])
+def test_packed_conv_matches_exact(cin, co, f, t, k, s, pad, g):
+    assert packed_conv.supports(cin, k, s, f, pad, g)
+    key = jax.random.PRNGKey(0)
+    p = nn.conv2d_init(key, cin, co, (k, 1))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cin, f, t), jnp.float32)
+    want = nn.conv2d(p, x, stride=(s, 1), padding=(pad, 0))
+    got = packed_conv.packed_freq_conv(p, x, k, s, pad, g)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_supports_rejects_bad_geometry():
+    assert not packed_conv.supports(4, 8, 3, 2048, 2)     # k % s != 0
+    assert not packed_conv.supports(48, 8, 4, 512, 2)     # contraction >= 128
+    assert not packed_conv.supports(4, 8, 4, 2047, 2)     # grid not divisible
+
+
+def test_fast_enc_layer_matches_default(monkeypatch):
+    """Full HEncLayer forward with ATSM_FAST_ENC=1 == default (f32)."""
+    p = htdemucs.henc_layer_init(jax.random.PRNGKey(0), 4, 48, freq=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 256, 8), jnp.float32)
+    monkeypatch.delenv("ATSM_FAST_ENC", raising=False)
+    want = htdemucs.henc_layer_apply(p, x, freq=True)
+    monkeypatch.setenv("ATSM_FAST_ENC", "1")
+    got = htdemucs.henc_layer_apply(p, x, freq=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fast_enc_full_tower_forward(monkeypatch):
+    """ATSM_FAST_ENC=1 on the tiny full tower: same separation output
+    (the deeper layers reject packing via supports() and stay exact)."""
+    from audio_to_sheet_music_tpu.models import atht
+
+    params = atht.init_tiny(jax.random.PRNGKey(0))
+    wav = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, 2, 11025))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (1, 512))
+    monkeypatch.delenv("ATSM_FAST_ENC", raising=False)
+    want = atht.forward_with_text_emb(params, wav, emb, jnp.float32)
+    monkeypatch.setenv("ATSM_FAST_ENC", "1")
+    got = atht.forward_with_text_emb(params, wav, emb, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

@@ -1,0 +1,103 @@
+"""Correctness of the fused attention-block Pallas kernel (interpret mode).
+
+The kernel must match ``x + layer_scale(mha(q_in, kv_in, kv_in))`` — the
+exact XLA path of the cross-domain transformer layers — including f32
+softmax, torch Linear out-proj semantics, padded/masked key positions, and
+the bf16 compute dtype used on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_to_sheet_music_tpu.nn import core as nn
+from audio_to_sheet_music_tpu.nn.attention import mha, mha_init
+from audio_to_sheet_music_tpu.ops import pallas_attn
+
+
+def _ref_block(q, k, v, x, wo, bo, gamma, num_heads):
+    """The exact math attn_block fuses, straight jnp."""
+    import math
+
+    dh = q.shape[-1] // num_heads
+
+    def heads(t):
+        b, l, e = t.shape
+        return t.reshape(b, l, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhld,bhsd->bhls", qh, kh) / math.sqrt(dh)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(q.dtype)
+    out = jnp.einsum("bhls,bhsd->bhld", probs, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(*q.shape)
+    out = out @ wo.astype(q.dtype).T + bo.astype(q.dtype)
+    return x + gamma.astype(q.dtype) * out
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("l,s", [(256, 256), (100, 188), (128, 384)])
+def test_attn_block_matches_reference(rng, l, s):
+    d, heads = 128, 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    b = 2
+    q, k, v = _rand(ks[0], b, l, d), _rand(ks[1], b, s, d), _rand(ks[2], b, s, d)
+    x = _rand(ks[3], b, l, d)
+    wo = _rand(ks[4], d, d) * 0.1
+    bo = _rand(ks[5], d) * 0.1
+    gamma = _rand(ks[6], d) * 0.5
+
+    got = pallas_attn.attn_block(q, k, v, x, wo, bo, gamma, heads,
+                                 interpret=True)
+    want = _ref_block(q, k, v, x, wo, bo, gamma, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_attn_block_bf16(rng):
+    d, heads, b, l, s = 128, 2, 1, 192, 320
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    mk = lambda *sh: _rand(ks[len(sh)], *sh).astype(jnp.bfloat16)  # noqa: E731
+    q, k, v = mk(b, l, d), mk(b, s, d), mk(b, s, d)
+    x = mk(b, l, d)
+    wo, bo, gamma = _rand(ks[4], d, d) * 0.1, _rand(ks[5], d) * 0.1, _rand(ks[6], d)
+
+    got = pallas_attn.attn_block(q, k, v, x, wo, bo, gamma, heads,
+                                 interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = _ref_block(q.astype(jnp.float32), k.astype(jnp.float32),
+                      v.astype(jnp.float32), x.astype(jnp.float32),
+                      wo, bo, gamma, heads)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("cross", [False, True])
+def test_mha_residual_matches_layer_path(rng, cross):
+    """The fused tail == x + layer_scale(mha(...)) on real mha params."""
+    d, heads, b, l, s = 128, 2, 2, 96, 96 if not cross else 160
+    p = mha_init(jax.random.PRNGKey(2), d)
+    gamma = nn.layer_scale_init(d, 1e-2)
+    gamma["scale"] = gamma["scale"] + 0.3   # non-trivial scale
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = _rand(ks[0], b, l, d)
+    q_in = _rand(ks[1], b, l, d)
+    kv_in = q_in if not cross else _rand(ks[2], b, s, d)
+
+    got = pallas_attn.mha_residual(p, gamma, x, q_in, kv_in, heads,
+                                   interpret=True)
+    want = x + nn.layer_scale(gamma, mha(p, q_in, kv_in, kv_in, heads),
+                              channel_last=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_supports():
+    assert pallas_attn.supports(512, 8)
+    assert not pallas_attn.supports(100, 2)     # not lane-aligned
+    assert not pallas_attn.supports(128, 48)    # head_dim too small
