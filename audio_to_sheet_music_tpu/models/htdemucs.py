@@ -88,11 +88,27 @@ def dconv_init(key, channels: int) -> Params:
     return {"layers": layers}
 
 
+def _use_fast_dconv() -> bool:
+    """Opt-in time-packed dot lowering for the tile-starved DConv compress
+    conv (``ATSM_FAST_DCONV=1``; N = C/8 = 6..48 underfills the MXU —
+    docs/PERFORMANCE.md roofline)."""
+    import os
+
+    return os.environ.get("ATSM_FAST_DCONV") == "1"
+
+
 def dconv_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """x: (B, C, T).  Two residual dilated compress-expand blocks."""
+    from ..ops import packed_conv
+
+    fast = _use_fast_dconv()
     for d, blk in enumerate(p["layers"]):
         dilation = 2 ** d
-        y = nn.conv1d(blk["conv1"], x, padding=dilation, dilation=dilation)
+        if fast and packed_conv.supports_time_pack(x.shape[1], x.shape[-1],
+                                                   dilation):
+            y = packed_conv.packed_time_conv(blk["conv1"], x, dilation)
+        else:
+            y = nn.conv1d(blk["conv1"], x, padding=dilation, dilation=dilation)
         y = nn.group_norm(blk["norm1"], y, 1)
         y = nn.gelu(y)
         y = nn.conv1d(blk["conv2"], y)

@@ -54,6 +54,55 @@ def pack_weight(w: jnp.ndarray, group: int, stride: int) -> jnp.ndarray:
     return packed.reshape(win * c, group * co)
 
 
+def supports_time_pack(c: int, t: int, dilation: int,
+                       block: int = 16) -> bool:
+    """Time-packing pays where the output width underfills a 128-wide MXU
+    tile (the DConv compress conv: N = C/8 = 6..48) and the time axis
+    divides into blocks."""
+    return (c // 8) < 128 and t % block == 0 and block > 2 * dilation
+
+
+def pack_time_weight(w: jnp.ndarray, block: int, dilation: int
+                     ) -> jnp.ndarray:
+    """(H, C, k) torch conv1d weight (k=3 here) -> block-Toeplitz
+    ((block + 2*dilation*(k//2)) * C, block * H) operand: output phase p of
+    a block reads window taps p + j*dilation, j in [0, k)."""
+    h, c, k = w.shape
+    halo = dilation * (k - 1) // 2
+    win = block + 2 * halo
+    packed = jnp.zeros((win, c, block, h), w.dtype)
+    for p in range(block):
+        for j in range(k):
+            packed = packed.at[p + j * dilation, :, p, :].set(w[:, :, j].T)
+    return packed.reshape(win * c, block * h)
+
+
+def packed_time_conv(p, x: jnp.ndarray, dilation: int,
+                     block: int = 16) -> jnp.ndarray:
+    """Dilated k=3 'same' conv1d (R, C, T) -> (R, H, T) as one matmul over
+    blocks of ``block`` output positions (the DConv compress stage,
+    ``models.htdemucs.dconv_apply`` conv1).
+
+    Matches ``nn.conv1d(p, x, padding=dilation, dilation=dilation)``
+    exactly in f32; validated in tests/test_packed_conv.py.
+    """
+    w = p["weight"]                                  # (H, C, 3)
+    h, c, k = w.shape
+    r, _, t = x.shape
+    halo = dilation * (k - 1) // 2
+    nblk = t // block
+    xp = jnp.pad(x, ((0, 0), (0, 0), (halo, halo)))
+    win = block + 2 * halo
+    views = [xp[:, :, i:i + (nblk - 1) * block + 1:block]   # (R, C, nblk)
+             for i in range(win)]
+    lhs = jnp.stack(views, axis=2)                   # (R, C, win, nblk)
+    lhs = lhs.transpose(0, 3, 2, 1).reshape(r * nblk, win * c)
+    rhs = pack_time_weight(w, block, dilation).astype(x.dtype)
+    y = lhs @ rhs                                    # (R*nblk, block*H)
+    y = y + jnp.tile(p["bias"].astype(x.dtype), block)
+    return y.reshape(r, nblk, block, h).transpose(0, 3, 1, 2).reshape(r, h, t)
+
+
 def packed_freq_conv(p, x: jnp.ndarray, kernel: int, stride: int, pad: int,
                      group: int = 4) -> jnp.ndarray:
     """Strided freq conv (B, C, F, T) -> (B, Co, F', T) as one matmul.

@@ -9,10 +9,12 @@ dependency inside one jitted program at TWO loop counts and reports the
 slope ``(T(n2) - T(n1)) / (n2 - n1)`` — the floor cancels exactly
 (see ``utils.profiling.loop_cost``).
 
-Variants:
-- ``forward_4stem`` (the serving hot program) with the XLA DConv path
-- the same with ``ATSM_PALLAS_DCONV=1`` (fused VMEM DConv kernel)
-- encode-only, per-path
+Variants (``--variants``, comma-separated): ``baseline`` and any of the
+opt-in fast paths — ``pallas_dconv`` (fused VMEM DConv kernel),
+``fast_enc`` (channel-packed layer-0 conv), ``fast_dconv`` (time-packed
+DConv compress dot), ``pallas_attn`` (fused attention block), ``all_fast``
+(the three round-4 gates together).  Env gates are read at trace time, so
+each variant jits its own program pair.
 
 Interleaves variant dispatches A/B/A/B to cancel residual weather.
 """
@@ -45,6 +47,7 @@ def main() -> None:
     ap.add_argument("--loop", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--variants", default="baseline,all_fast")
     args = ap.parse_args()
     dtype = jnp.bfloat16
 
@@ -75,15 +78,31 @@ def main() -> None:
 
     body = encode if args.encode_only else four_stem
     n1, n2 = 2, 2 + n
+
+    GATES = ("ATSM_PALLAS_DCONV", "ATSM_FAST_ENC", "ATSM_FAST_DCONV",
+             "ATSM_PALLAS_ATTN")
+    VARIANTS = {
+        "baseline": {},
+        "pallas_dconv": {"ATSM_PALLAS_DCONV": "1"},
+        "fast_enc": {"ATSM_FAST_ENC": "1"},
+        "fast_dconv": {"ATSM_FAST_DCONV": "1"},
+        "pallas_attn": {"ATSM_PALLAS_ATTN": "1"},
+        "all_fast": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
+                     "ATSM_PALLAS_ATTN": "1"},
+    }
     variants = []
-    for name, flag in [("xla-dconv", "0"), ("pallas-dconv", "1")]:
-        os.environ["ATSM_PALLAS_DCONV"] = flag
+    for name in args.variants.split(","):
+        env = VARIANTS[name.strip()]
+        for g in GATES:
+            os.environ.pop(g, None)
+        os.environ.update(env)
         # trace now (env is read at trace time), under a distinct wrapper
         f1, f2 = make(body, n1), make(body, n2)
         _sync(f1(params, wav, embs4))          # compile + warm
         _sync(f2(params, wav, embs4))
         variants.append((name, f1, f2))
-    os.environ.pop("ATSM_PALLAS_DCONV", None)
+    for g in GATES:
+        os.environ.pop(g, None)
 
     times = {name: ([], []) for name, _, _ in variants}
     for _ in range(args.iters):

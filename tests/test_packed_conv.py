@@ -43,6 +43,46 @@ def test_supports_rejects_bad_geometry():
     assert not packed_conv.supports(4, 8, 4, 2047, 2)     # grid not divisible
 
 
+@pytest.mark.parametrize("c,h,t,dil,blk", [
+    (48, 6, 336, 1, 16),       # real layer-0 folded DConv, depth 0
+    (48, 6, 336, 2, 16),       # depth 1 (dilation 2)
+    (384, 48, 336, 1, 16),
+    (8, 1, 64, 2, 8),
+])
+def test_packed_time_conv_matches_exact(c, h, t, dil, blk):
+    assert packed_conv.supports_time_pack(c, t, dil, blk)
+    p = nn.conv1d_init(jax.random.PRNGKey(0), c, h, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, c, t), jnp.float32)
+    want = nn.conv1d(p, x, padding=dil, dilation=dil)
+    got = packed_conv.packed_time_conv(p, x, dil, blk)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fast_dconv_matches_default(monkeypatch):
+    p = htdemucs.dconv_init(jax.random.PRNGKey(0), 48)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 48, 336), jnp.float32)
+    monkeypatch.delenv("ATSM_FAST_DCONV", raising=False)
+    want = htdemucs.dconv_apply(p, x)
+    monkeypatch.setenv("ATSM_FAST_DCONV", "1")
+    got = htdemucs.dconv_apply(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fast_dconv_falls_back_on_odd_lengths(monkeypatch):
+    """T not divisible by the block -> exact path, same result."""
+    p = htdemucs.dconv_init(jax.random.PRNGKey(0), 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 333), jnp.float32)
+    monkeypatch.setenv("ATSM_FAST_DCONV", "1")
+    got = htdemucs.dconv_apply(p, x)
+    monkeypatch.delenv("ATSM_FAST_DCONV")
+    want = htdemucs.dconv_apply(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_fast_enc_layer_matches_default(monkeypatch):
     """Full HEncLayer forward with ATSM_FAST_ENC=1 == default (f32)."""
     p = htdemucs.henc_layer_init(jax.random.PRNGKey(0), 4, 48, freq=True)
