@@ -140,6 +140,12 @@ def attn_block(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, QT, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lp, d), dtype),
+        # K/V (up to ~2.8 MB each at S=2688) + Wo + q/x/out tiles + the
+        # f32 score tile + double buffering can exceed the compiler's
+        # default ~16 MB VMEM budget; raise the cap toward the chip's
+        # physical VMEM so the resident-K/V schedule compiles.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, xp,
       wo.astype(dtype), bo.astype(jnp.float32).reshape(1, d),

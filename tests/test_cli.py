@@ -75,6 +75,21 @@ class TestConsoleEntryPoints:
         assert set(model["aggregate"]["sdr"]) >= {"drums", "bass", "other",
                                                   "vocals", "average"}
 
+    def test_benchmark_main_ours_random_row(self, tmp_path, monkeypatch):
+        """The 'ours-random' ablation row evaluates alongside 'ours' (the
+        trained-vs-random learning evidence in the committed artifact)."""
+        from audio_to_sheet_music_tpu.cli import benchmark_main
+
+        monkeypatch.setattr(sys, "argv", [
+            "atsm-benchmark", "--synthetic", "--synthetic-tracks", "1",
+            "--models", "ours", "ours-random", "--output-dir", str(tmp_path)])
+        benchmark_main()
+        out = json.loads((tmp_path / "evaluation_results.json").read_text())
+        assert "AudioTextHTDemucs (Ours)" in out
+        assert "AudioTextHTDemucs (Ours, random head)" in out
+        rnd = out["AudioTextHTDemucs (Ours, random head)"]
+        assert len(rnd["per_track"]) == 1
+
     def test_root_delegates_point_at_cli(self):
         import importlib.util as iu
         from pathlib import Path
