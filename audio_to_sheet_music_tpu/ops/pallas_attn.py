@@ -143,9 +143,12 @@ def attn_block(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # K/V (up to ~2.8 MB each at S=2688) + Wo + q/x/out tiles + the
         # f32 score tile + double buffering can exceed the compiler's
         # default ~16 MB VMEM budget; raise the cap toward the chip's
-        # physical VMEM so the resident-K/V schedule compiles.
+        # 128 MiB physical VMEM so the resident-K/V schedule compiles.
+        # Batch rows are independent -> "parallel" lets the megacores
+        # split them; query tiles share resident K/V -> "arbitrary".
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(qp, kp, vp, xp,
       wo.astype(dtype), bo.astype(jnp.float32).reshape(1, d),
