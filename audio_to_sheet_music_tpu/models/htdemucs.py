@@ -329,6 +329,24 @@ def _use_pallas_attn(dim: int) -> bool:
     return pallas_attn.supports(dim, _n_heads(dim))
 
 
+def _use_pallas_layer(p: Params) -> bool:
+    """Opt-in fully fused layer kernel (``ATSM_PALLAS_LAYER=1``, TPU only):
+    Q-proj + attention + out-proj + LayerScale + residual + LN + FF in one
+    VMEM pass (ops/pallas_attn.py:layer_tail).  Subsumes — and takes
+    precedence over — ``ATSM_PALLAS_ATTN``."""
+    import os
+
+    if os.environ.get("ATSM_PALLAS_LAYER") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from ..ops import pallas_attn
+
+    dim = p["linear1"]["weight"].shape[1]
+    ff = p["linear1"]["weight"].shape[0]
+    return pallas_attn.supports_layer(dim, _n_heads(dim), ff)
+
+
 def _attn_residual(p: Params, attn_key: str, x_res: jnp.ndarray,
                    q_in: jnp.ndarray, kv_in: jnp.ndarray) -> jnp.ndarray:
     """``x_res + LayerScale(MHA(q_in, kv_in, kv_in))`` — XLA or fused."""
@@ -345,6 +363,11 @@ def _attn_residual(p: Params, attn_key: str, x_res: jnp.ndarray,
 
 def _self_layer_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Pre-LN self-attention layer with LayerScale + GroupNorm out."""
+    if _use_pallas_layer(p):
+        from ..ops import pallas_attn
+
+        y = pallas_attn.fused_self_layer(p, x, _n_heads(x.shape[-1]))
+        return _group_norm_tokens(p["norm_out"], y)
     h = nn.layer_norm(p["norm1"], x)
     x = _attn_residual(p, "self_attn", x, h, h)
     x = x + nn.layer_scale(p["gamma_2"], _ff(p, nn.layer_norm(p["norm2"], x)),
@@ -354,6 +377,11 @@ def _self_layer_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def _cross_layer_apply(p: Params, q: jnp.ndarray, mem: jnp.ndarray) -> jnp.ndarray:
     """Pre-LN cross-attention layer: q attends to the other branch."""
+    if _use_pallas_layer(p):
+        from ..ops import pallas_attn
+
+        y = pallas_attn.fused_cross_layer(p, q, mem, _n_heads(q.shape[-1]))
+        return _group_norm_tokens(p["norm_out"], y)
     qn = nn.layer_norm(p["norm1"], q)
     mn = nn.layer_norm(p["norm2"], mem)
     x = _attn_residual(p, "cross_attn", q, qn, mn)

@@ -161,6 +161,215 @@ def supports(d: int, num_heads: int) -> bool:
     return d % LANE == 0 and d % num_heads == 0 and (d // num_heads) >= 8
 
 
+# ---------------------------------------------------------------------------
+# Fully fused transformer layer tail: Q-proj + attention + out-proj +
+# LayerScale + residual + pre-FF LayerNorm + FF (linear/GELU/linear) +
+# LayerScale + residual — one VMEM pass per (batch row, query tile).
+#
+# Beyond ``attn_block`` this also keeps the post-attention stream ``y1`` and
+# the (QT, FF)=128x2048 FF activation on-chip: per 5-layer crosstransformer
+# pass at the 6 s bottleneck shapes that removes ~0.5 GB of HBM round-trips
+# (bf16) on top of the score-matrix traffic the attention tail already
+# saves.  K/V projection (needs the full sequence), the LN1/LN2(mem) input
+# norms and the full-sequence GroupNorm-out stay in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _layer_kernel(h_ref, k_ref, v_ref, x_ref,
+                  wq_ref, bq_ref, wo_ref, bo_ref, g1_ref,
+                  lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref,
+                  o_ref, *, num_heads: int, s_true: int, scale: float,
+                  eps: float = 1e-5):
+    """One (batch row, query tile) step of a full pre-LN transformer layer.
+
+    h_ref  (1, QT, D)  bf16 — LN1-normed query-stream tile
+    k_ref  (1, S, D)   bf16 — projected keys, full row (resident)
+    v_ref  (1, S, D)   bf16 — projected values
+    x_ref  (1, QT, D)  bf16 — residual input tile (pre-norm stream)
+    wq_ref (D, D); wo_ref (D, D)            bf16 (torch layout, y = x@W.T)
+    w1_ref (FF, D); w2_ref (D, FF)          bf16
+    bq/bo/b2/g1/g2/lnw/lnb (1, D), b1 (1, FF)   f32
+    o_ref  (1, QT, D)  — layer output before the GroupNorm-out
+    """
+    d = h_ref.shape[-1]
+    dh = d // num_heads
+    s_pad = k_ref.shape[1]
+    h = h_ref[0]                                   # (QT, D)
+    q = jax.lax.dot_general(
+        h, wq_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q = (q + bq_ref[0]).astype(h.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (QT, s_pad), 1)
+    neg = jnp.float32(-1e30)
+    heads = []
+    for hh in range(num_heads):
+        qh = q[:, hh * dh:(hh + 1) * dh]
+        kh = k[:, hh * dh:(hh + 1) * dh]
+        vh = v[:, hh * dh:(hh + 1) * dh]
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(col < s_true, scores, neg)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        heads.append(jnp.dot(probs.astype(h.dtype), vh,
+                             preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(heads, axis=-1)         # (QT, D) f32
+    out = jax.lax.dot_general(
+        attn.astype(h.dtype), wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y1 = x_ref[0].astype(jnp.float32) + g1_ref[0] * (out + bo_ref[0])
+
+    # pre-FF LayerNorm (torch semantics: f32 stats over channels)
+    mean = jnp.mean(y1, axis=-1, keepdims=True)
+    var = jnp.mean((y1 - mean) ** 2, axis=-1, keepdims=True)
+    ln = ((y1 - mean) * jax.lax.rsqrt(var + eps)
+          * lnw_ref[0] + lnb_ref[0]).astype(h.dtype)
+
+    f1 = jax.lax.dot_general(
+        ln, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    f1 = jax.nn.gelu(f1 + b1_ref[0], approximate=False).astype(h.dtype)
+    f2 = jax.lax.dot_general(
+        f1, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y2 = y1 + g2_ref[0] * (f2 + b2_ref[0])
+    o_ref[0] = y2.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def layer_tail(h: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               x: jnp.ndarray, wq: jnp.ndarray, bq: jnp.ndarray,
+               wo: jnp.ndarray, bo: jnp.ndarray, g1: jnp.ndarray,
+               lnw: jnp.ndarray, lnb: jnp.ndarray,
+               w1: jnp.ndarray, b1: jnp.ndarray,
+               w2: jnp.ndarray, b2: jnp.ndarray, g2: jnp.ndarray,
+               num_heads: int, interpret: bool = False) -> jnp.ndarray:
+    """Fused layer tail; see ``_layer_kernel`` for the math.
+
+    h/x: (B, L, D) (normed queries / residual stream); k/v: (B, S, D)
+    already projected; weights in torch layout.  Returns the layer output
+    *before* the GroupNorm-out, shape (B, L, D).
+    """
+    b, l, d = h.shape
+    s = k.shape[1]
+    ff = w1.shape[0]
+    dh = d // num_heads
+    assert num_heads * dh == d and d % LANE == 0, (d, num_heads)
+    dtype = h.dtype
+
+    hp = _pad_to(h, 1, QT)
+    xp = _pad_to(x, 1, QT)
+    kp = _pad_to(k, 1, LANE)
+    vp = _pad_to(v, 1, LANE)
+    lp, sp = hp.shape[1], kp.shape[1]
+
+    kernel = functools.partial(
+        _layer_kernel, num_heads=num_heads, s_true=s,
+        scale=1.0 / math.sqrt(dh))
+    grid = (b, lp // QT)
+    row = lambda arr, n: arr.astype(jnp.float32).reshape(1, n)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, QT, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sp, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, QT, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((ff, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, ff), lambda i, j: (0, 0)),
+            pl.BlockSpec((d, ff), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, QT, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), dtype),
+        # Resident per row: K/V (2x2.75 MB at S=2688) + weights (~5 MB bf16
+        # at D=512/FF=2048) + f32 score and FF tiles; same budget rationale
+        # as attn_block.  Batch rows are independent (megacore-parallel);
+        # query tiles share resident K/V.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(hp, kp, vp, xp,
+      wq.astype(dtype), row(bq, d),
+      wo.astype(dtype), row(bo, d), row(g1, d),
+      row(lnw, d), row(lnb, d),
+      w1.astype(dtype), row(b1, ff),
+      w2.astype(dtype), row(b2, d), row(g2, d))
+    return out[:, :l]
+
+
+def supports_layer(d: int, num_heads: int, ff: int) -> bool:
+    """Fused-layer constraints: lane-aligned model and FF dims."""
+    return supports(d, num_heads) and ff % LANE == 0
+
+
+def _layer_tail_from_params(p, attn_key: str, ln_key: str, x_res, h_q, kv,
+                            num_heads: int, interpret: bool) -> jnp.ndarray:
+    """Project K/V in XLA (one packed matmul over the full memory stream),
+    then run the fused layer tail.  ``h_q`` is the LN1-normed query stream,
+    ``kv`` the normed memory stream (== h_q for self-attention)."""
+    e = h_q.shape[-1]
+    pa = p[attn_key]
+    w = pa["in_proj_weight"].astype(h_q.dtype)
+    bias = pa["in_proj_bias"].astype(h_q.dtype)
+    kvp = kv @ w[e:].T + bias[e:]                  # (B, S, 2D)
+    k, v = jnp.split(kvp, 2, axis=-1)
+    return layer_tail(
+        h_q, k, v, x_res,
+        w[:e], pa["in_proj_bias"][:e],
+        pa["out_proj"]["weight"], pa["out_proj"]["bias"],
+        p["gamma_1"]["scale"],
+        p[ln_key]["weight"], p[ln_key]["bias"],
+        p["linear1"]["weight"], p["linear1"]["bias"],
+        p["linear2"]["weight"], p["linear2"]["bias"],
+        p["gamma_2"]["scale"],
+        num_heads, interpret=interpret)
+
+
+def fused_self_layer(p, x, num_heads: int, interpret: bool = False):
+    """Pre-LN self-attention layer (minus GroupNorm-out), fully fused.
+
+    Matches ``htdemucs._self_layer_apply`` up to the final
+    ``_group_norm_tokens`` (which needs full-sequence stats and stays in
+    XLA).  ``p`` is a ``_transformer_layer_init(cross=False)`` pytree.
+    """
+    from ..nn import core as nn
+
+    h = nn.layer_norm(p["norm1"], x)
+    return _layer_tail_from_params(p, "self_attn", "norm2", x, h, h,
+                                   num_heads, interpret)
+
+
+def fused_cross_layer(p, q, mem, num_heads: int, interpret: bool = False):
+    """Pre-LN cross-attention layer (minus GroupNorm-out), fully fused.
+
+    Matches ``htdemucs._cross_layer_apply`` up to ``_group_norm_tokens``;
+    ``p`` is a ``_transformer_layer_init(cross=True)`` pytree (FF pre-norm
+    is ``norm3``).
+    """
+    from ..nn import core as nn
+
+    qn = nn.layer_norm(p["norm1"], q)
+    mn = nn.layer_norm(p["norm2"], mem)
+    return _layer_tail_from_params(p, "cross_attn", "norm3", q, qn, mn,
+                                   num_heads, interpret)
+
+
 def mha_residual(p_attn, gamma, x_res, q_in, kv_in, num_heads: int,
                  interpret: bool = False) -> jnp.ndarray:
     """Drop-in fused tail for ``x_res + layer_scale(gamma, mha(...))``.

@@ -80,15 +80,18 @@ def main() -> None:
     n1, n2 = 2, 2 + n
 
     GATES = ("ATSM_PALLAS_DCONV", "ATSM_FAST_ENC", "ATSM_FAST_DCONV",
-             "ATSM_PALLAS_ATTN")
+             "ATSM_PALLAS_ATTN", "ATSM_PALLAS_LAYER")
     VARIANTS = {
         "baseline": {},
         "pallas_dconv": {"ATSM_PALLAS_DCONV": "1"},
         "fast_enc": {"ATSM_FAST_ENC": "1"},
         "fast_dconv": {"ATSM_FAST_DCONV": "1"},
         "pallas_attn": {"ATSM_PALLAS_ATTN": "1"},
+        "pallas_layer": {"ATSM_PALLAS_LAYER": "1"},
         "all_fast": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
                      "ATSM_PALLAS_ATTN": "1"},
+        "all_fast_layer": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
+                           "ATSM_PALLAS_LAYER": "1"},
     }
     variants = []
     for name in args.variants.split(","):

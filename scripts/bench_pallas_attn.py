@@ -52,34 +52,45 @@ def main() -> None:
     xt = jnp.asarray(rng.standard_normal((b, c, args.t2)),
                      jnp.float32).astype(jnp.bfloat16)
 
-    def trace(flag: str):
-        os.environ["ATSM_PALLAS_ATTN"] = flag
+    def trace(attn: str, layer: str):
+        os.environ["ATSM_PALLAS_ATTN"] = attn
+        os.environ["ATSM_PALLAS_LAYER"] = layer
         fn = jax.jit(lambda p, x, xt: H.crosstransformer_apply(p, x, xt))
-        out = fn(p, x, xt)          # compile with the gate as set
+        out = fn(p, x, xt)          # compile with the gates as set
         _sync(out)
         return fn, out
 
-    xla_fn, a = trace("0")
-    pl_fn, bb = trace("1")
-    err = max(float(jnp.max(jnp.abs(u.astype(jnp.float32)
-                                    - v.astype(jnp.float32))))
-              for u, v in zip(a, bb))
-    scale = max(float(jnp.max(jnp.abs(u.astype(jnp.float32)))) for u in a)
+    variants = [("xla", "0", "0"),
+                ("pallas-attn", "1", "0"),      # fused attention tail
+                ("pallas-layer", "0", "1")]     # fully fused layer
+    fns, outs = {}, {}
+    for name, attn, layer in variants:
+        fns[name], outs[name] = trace(attn, layer)
 
-    ta, tb = [], []
-    for _ in range(args.iters):
-        t0 = time.perf_counter(); _sync(xla_fn(p, x, xt))
-        ta.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); _sync(pl_fn(p, x, xt))
-        tb.append(time.perf_counter() - t0)
+    ref = outs["xla"]
+    scale = max(float(jnp.max(jnp.abs(u.astype(jnp.float32)))) for u in ref)
+    errs = {
+        name: max(float(jnp.max(jnp.abs(u.astype(jnp.float32)
+                                        - v.astype(jnp.float32))))
+                  for u, v in zip(ref, outs[name]))
+        for name, _, _ in variants[1:]
+    }
+
+    times = {name: [] for name, _, _ in variants}
+    for _ in range(args.iters):       # interleaved so weather cancels
+        for name, _, _ in variants:
+            t0 = time.perf_counter(); _sync(fns[name](p, x, xt))
+            times[name].append(time.perf_counter() - t0)
+    base = min(times["xla"])
     print(f"crosstransformer (B={b}, freq {args.fr}x{args.t1}="
-          f"{args.fr * args.t1} tok, time {args.t2} tok, dim {c}):")
-    print(f"  xla    best {min(ta)*1e3:7.1f} ms  runs "
-          f"{[round(t*1e3) for t in ta]}")
-    print(f"  pallas best {min(tb)*1e3:7.1f} ms  runs "
-          f"{[round(t*1e3) for t in tb]}")
-    print(f"  speedup {min(ta)/min(tb):.3f}x   max|diff|={err:.3e} "
-          f"(output scale {scale:.1f})")
+          f"{args.fr * args.t1} tok, time {args.t2} tok, dim {c}, "
+          f"output scale {scale:.1f}):")
+    for name, _, _ in variants:
+        ts = times[name]
+        err = f"  max|diff|={errs[name]:.3e}" if name in errs else ""
+        print(f"  {name:12s} best {min(ts)*1e3:7.1f} ms  "
+              f"speedup {base/min(ts):.3f}x  runs "
+              f"{[round(t*1e3) for t in ts]}{err}")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,10 @@ ap = argparse.ArgumentParser()
 ap.add_argument('--steps', type=int, default=300)
 ap.add_argument('--save', default=None,
                 help='write the trained head params .npz here')
+ap.add_argument('--batch', type=int, default=8)
+ap.add_argument('--segment-seconds', type=float, default=6.0,
+                help='train segment length; shorter makes a 1-core CPU '
+                     'fallback run feasible when the TPU tunnel is down')
 args = ap.parse_args()
 
 tracks = synthetic_tracks(4, seconds=24.0, cache_dir='/tmp/atsm_learn_proof/train')
@@ -48,8 +52,9 @@ def eval_sdr(p, label):
 
 before = eval_sdr(params, 'random-init')
 
-ds = StemSegmentDataset(tracks, 264600, random_segments=True, augment=True)
-loader = BatchLoader(ds, 8, HashTokenizer())
+seg_samples = int(round(args.segment_seconds * 44100))
+ds = StemSegmentDataset(tracks, seg_samples, random_segments=True, augment=True)
+loader = BatchLoader(ds, args.batch, HashTokenizer())
 opt = make_optimizer(lr=3e-4, total_steps=args.steps)
 state = TrainState.create(params['head'], opt)
 frozen = {'htdemucs': params['htdemucs'], 'clap': params['clap']}

@@ -101,3 +101,59 @@ def test_supports():
     assert pallas_attn.supports(512, 8)
     assert not pallas_attn.supports(100, 2)     # not lane-aligned
     assert not pallas_attn.supports(128, 48)    # head_dim too small
+    assert pallas_attn.supports_layer(512, 8, 2048)
+    assert not pallas_attn.supports_layer(512, 8, 2000)  # FF not aligned
+
+
+def test_fused_self_layer_matches_xla_layer(rng):
+    """Full fused layer (Q-proj+attn+out-proj+LN+FF+residuals) + GroupNorm
+    == htdemucs._self_layer_apply on the same params."""
+    from audio_to_sheet_music_tpu.models import htdemucs as H
+
+    d, heads, b, l, ff = 128, 2, 2, 200, 256
+    p = H._transformer_layer_init(jax.random.PRNGKey(4), d, cross=False, ff=ff)
+    p["gamma_1"]["scale"] = p["gamma_1"]["scale"] + 0.2
+    p["gamma_2"]["scale"] = p["gamma_2"]["scale"] + 0.1
+    x = _rand(jax.random.PRNGKey(5), b, l, d)
+
+    want = H._self_layer_apply(p, x)
+    pre = pallas_attn.fused_self_layer(p, x, heads, interpret=True)
+    got = H._group_norm_tokens(p["norm_out"], pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_fused_cross_layer_matches_xla_layer(rng):
+    from audio_to_sheet_music_tpu.models import htdemucs as H
+
+    d, heads, b, l, s, ff = 128, 2, 2, 96, 224, 256
+    p = H._transformer_layer_init(jax.random.PRNGKey(6), d, cross=True, ff=ff)
+    p["gamma_1"]["scale"] = p["gamma_1"]["scale"] + 0.2
+    p["gamma_2"]["scale"] = p["gamma_2"]["scale"] + 0.1
+    q = _rand(jax.random.PRNGKey(7), b, l, d)
+    mem = _rand(jax.random.PRNGKey(8), b, s, d)
+
+    want = H._cross_layer_apply(p, q, mem)
+    pre = pallas_attn.fused_cross_layer(p, q, mem, heads, interpret=True)
+    got = H._group_norm_tokens(p["norm_out"], pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_fused_self_layer_bf16(rng):
+    """bf16 compute dtype (the TPU path) stays within bf16 tolerance."""
+    from audio_to_sheet_music_tpu.models import htdemucs as H
+
+    d, heads, b, l, ff = 128, 2, 1, 160, 256
+    p = H._transformer_layer_init(jax.random.PRNGKey(9), d, cross=False, ff=ff)
+    p["gamma_1"]["scale"] = p["gamma_1"]["scale"] + 0.2
+    p["gamma_2"]["scale"] = p["gamma_2"]["scale"] + 0.1
+    x32 = _rand(jax.random.PRNGKey(10), b, l, d)
+    x = x32.astype(jnp.bfloat16)
+
+    want = H._self_layer_apply(p, x32)
+    pre = pallas_attn.fused_self_layer(p, x, heads, interpret=True)
+    assert pre.dtype == jnp.bfloat16
+    got = H._group_norm_tokens(p["norm_out"], pre)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=0.05, rtol=0.05)
