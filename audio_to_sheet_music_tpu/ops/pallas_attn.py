@@ -175,6 +175,21 @@ def supports(d: int, num_heads: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _gelu_erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-GELU for Mosaic: ``lax.erf_p`` has no TPU-kernel lowering rule,
+    so erf is computed via Abramowitz & Stegun 7.1.26 (max abs error
+    1.5e-7 — three orders below the bf16 ulp at these magnitudes)."""
+    inv_sqrt2 = 0.7071067811865476
+    z = x * inv_sqrt2
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x * (1.0 + erf)
+
+
 def _layer_kernel(h_ref, k_ref, v_ref, x_ref,
                   wq_ref, bq_ref, wo_ref, bo_ref, g1_ref,
                   lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, g2_ref,
@@ -233,7 +248,7 @@ def _layer_kernel(h_ref, k_ref, v_ref, x_ref,
     f1 = jax.lax.dot_general(
         ln, w1_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    f1 = jax.nn.gelu(f1 + b1_ref[0], approximate=False).astype(h.dtype)
+    f1 = _gelu_erf(f1 + b1_ref[0]).astype(h.dtype)
     f2 = jax.lax.dot_general(
         f1, w2_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
