@@ -187,10 +187,18 @@ def henc_layer_apply(p: Params, x: jnp.ndarray, freq: bool,
             y = nn.conv2d(p["conv"], x, stride=(STRIDE, 1),
                           padding=(KERNEL // 4, 0))
     else:
+        from ..ops import packed_conv
+
         t = x.shape[-1]
         if t % STRIDE != 0:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, STRIDE - t % STRIDE)])
-        y = nn.conv1d(p["conv"], x, stride=STRIDE, padding=KERNEL // 4)
+        if (_use_fast_enc()
+                and packed_conv.supports_time_stride(
+                    x.shape[1], KERNEL, STRIDE, x.shape[-1], KERNEL // 4)):
+            y = packed_conv.packed_time_stride_conv(p["conv"], x, KERNEL,
+                                                    STRIDE, KERNEL // 4)
+        else:
+            y = nn.conv1d(p["conv"], x, stride=STRIDE, padding=KERNEL // 4)
     if inject is not None:
         if inject.ndim == 3 and y.ndim == 4:
             inject = inject[:, :, None]

@@ -103,6 +103,56 @@ def packed_time_conv(p, x: jnp.ndarray, dilation: int,
     return y.reshape(r, nblk, block, h).transpose(0, 3, 1, 2).reshape(r, h, t)
 
 
+def supports_time_stride(cin: int, kernel: int, stride: int, t: int,
+                         pad: int) -> bool:
+    """Packing applies to the strided *time-branch* entry convs exactly
+    where the freq rule applies: stride-divisible kernel, tile-starved
+    contraction (the 2 -> 48 layer-0 conv1d has depth C*k = 16).  The
+    output-group remainder is handled by padding + slice, so no grid
+    divisibility constraint beyond the stride (which ``henc_layer_apply``
+    already guarantees by padding T)."""
+    return (kernel % stride == 0 and (t + 2 * pad) % stride == 0
+            and cin * kernel < 128)
+
+
+def packed_time_stride_conv(p, x: jnp.ndarray, kernel: int, stride: int,
+                            pad: int, group: int = 32) -> jnp.ndarray:
+    """Strided time conv (B, C, T) -> (B, Co, T') as one block-Toeplitz
+    matmul over groups of ``group`` output positions (the time encoder's
+    layer-0 conv; same construction as ``packed_freq_conv`` with the time
+    axis playing the frequency role, and a pad+slice remainder so T' need
+    not divide by the group).
+
+    Matches ``nn.conv1d(p, x, stride=stride, padding=pad)`` exactly in f32;
+    validated in tests/test_packed_conv.py.  Contraction depth for layer 0
+    at G=32: (31 + k/s)*s*C = 264 vs the unpacked 16 — past a full MXU
+    tile, with a 32*Co-wide output.
+    """
+    w = p["weight"]                                  # (Co, C, k)
+    co, c, k = w.shape
+    b, _, t = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    tp = t + 2 * pad
+    nblk = tp // stride
+    tout = (tp - k) // stride + 1
+    ngrp = -(-tout // group)                         # ceil: pad + slice
+    kblk = group - 1 + k // stride                   # window blocks per group
+    need = (ngrp - 1) * group + kblk
+    if need > nblk:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, (need - nblk) * stride)))
+        nblk = need
+    xb = xp.reshape(b, c, nblk, stride)
+    views = [xb[:, :, i:i + (ngrp - 1) * group + 1:group]   # (B, C, ngrp, s)
+             for i in range(kblk)]
+    win = jnp.stack(views, axis=2)                   # (B, C, kblk, ngrp, s)
+    lhs = win.transpose(0, 3, 2, 4, 1).reshape(b * ngrp, kblk * stride * c)
+    rhs = pack_weight(w[..., None], group, stride).astype(x.dtype)
+    y = lhs @ rhs                                    # (B*ngrp, G*Co)
+    y = y + jnp.tile(p["bias"].astype(x.dtype), group)
+    y = y.reshape(b, ngrp, group, co).transpose(0, 3, 1, 2)
+    return y.reshape(b, co, ngrp * group)[:, :, :tout]
+
+
 def packed_freq_conv(p, x: jnp.ndarray, kernel: int, stride: int, pad: int,
                      group: int = 4) -> jnp.ndarray:
     """Strided freq conv (B, C, F, T) -> (B, Co, F', T) as one matmul.

@@ -60,6 +60,43 @@ def test_packed_time_conv_matches_exact(c, h, t, dil, blk):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("cin,co,t,k,s,pad,g", [
+    (2, 48, 66152, 8, 4, 2, 32),       # real time layer-0 geometry
+    (2, 48, 1024, 8, 4, 2, 32),        # tout=256, divides exactly
+    (2, 48, 1000, 8, 4, 2, 32),        # tout=250: pad+slice remainder
+    (4, 16, 480, 4, 2, 1, 8),          # k/s=2
+])
+def test_packed_time_stride_conv_matches_exact(cin, co, t, k, s, pad, g):
+    assert packed_conv.supports_time_stride(cin, k, s, t, pad)
+    p = nn.conv1d_init(jax.random.PRNGKey(0), cin, co, k)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cin, t), jnp.float32)
+    want = nn.conv1d(p, x, stride=s, padding=pad)
+    got = packed_conv.packed_time_stride_conv(p, x, k, s, pad, g)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_supports_time_stride_rejects_bad_geometry():
+    assert not packed_conv.supports_time_stride(2, 8, 3, 1024, 2)  # k % s
+    assert not packed_conv.supports_time_stride(48, 8, 4, 1024, 2) # deep cin
+    assert not packed_conv.supports_time_stride(2, 8, 4, 1023, 2)  # stride
+
+
+def test_fast_enc_time_layer_matches_default(monkeypatch):
+    """Full time-branch HEncLayer forward with ATSM_FAST_ENC=1 == default
+    (covers the packed strided conv1d inside the real layer wiring,
+    including the odd-length T pre-pad)."""
+    p = htdemucs.henc_layer_init(jax.random.PRNGKey(0), 2, 48, freq=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 5511), jnp.float32)
+    monkeypatch.delenv("ATSM_FAST_ENC", raising=False)
+    want = htdemucs.henc_layer_apply(p, x, freq=False)
+    monkeypatch.setenv("ATSM_FAST_ENC", "1")
+    got = htdemucs.henc_layer_apply(p, x, freq=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_fast_dconv_matches_default(monkeypatch):
     p = htdemucs.dconv_init(jax.random.PRNGKey(0), 48)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 48, 336), jnp.float32)
