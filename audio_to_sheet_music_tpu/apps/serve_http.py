@@ -22,7 +22,9 @@ Surface:
                           soon as their overlap-add weights are final
                           (``infer.StreamingSeparator``, O(block) memory),
                           so playback can start before the song finishes
-                          separating.
+                          separating.  Optional ``?block=N`` sets device
+                          chunks per step (default 8, clamped to [1, 64]):
+                          smaller = lower first-audio latency.
   ``POST /api/separate_all``  body = WAV bytes, query ``?stems=a,b,...``
                           (default all four); returns a zip of
                           ``extracted_<stem>.wav`` files (the CLI's
@@ -398,7 +400,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, f"separation failed: {e}".encode(), "text/plain")
             return
         if url.path == "/api/separate/stream":
-            self._stream_response(body, prompt)
+            # ``block`` = device chunks per streaming step: smaller blocks
+            # lower time-to-first-audio, larger amortise dispatch better
+            # (scripts/stream_latency.py sweeps this).
+            try:
+                block = int(q.get("block", ["8"])[0])
+            except ValueError:
+                block = 8
+            self._stream_response(body, prompt, max(1, min(block, 64)))
             return
         try:
             if url.path == "/api/separate_all":
@@ -417,7 +426,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._send(200, payload, ctype)
 
-    def _stream_response(self, body: bytes, prompt: str) -> None:
+    def _stream_response(self, body: bytes, prompt: str,
+                         block_chunks: int = 8) -> None:
         """Progressive WAV: headers carry the exact Content-Length (input
         length is known), the body flushes piece by piece as the
         streaming separator finalises samples."""
@@ -436,7 +446,8 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.flush()
 
         try:
-            self.service.separate_stream(body, prompt, begin, write)
+            self.service.separate_stream(body, prompt, begin, write,
+                                         block_chunks=block_chunks)
         except Exception as e:  # noqa: BLE001 - surface or tear down
             if begun:
                 # 200 + Content-Length already on the wire: injecting a

@@ -52,11 +52,11 @@ def make_wav_bytes(seconds: float, seed: int = 0) -> bytes:
 
 
 def measure(port: int, body: bytes, path: str = "/api/separate/stream",
-            prompt: str = "vocals") -> dict:
+            prompt: str = "vocals", block_chunks: int = 8) -> dict:
     conn = http.client.HTTPConnection("127.0.0.1", port)
     t0 = time.perf_counter()
-    conn.request("POST", f"{path}?prompt={prompt}", body=body,
-                 headers={"Content-Type": "audio/wav"})
+    conn.request("POST", f"{path}?prompt={prompt}&block={block_chunks}",
+                 body=body, headers={"Content-Type": "audio/wav"})
     resp = conn.getresponse()
     t_headers = time.perf_counter() - t0
     assert resp.status == 200, (resp.status, resp.read()[:200])
@@ -103,11 +103,12 @@ def main() -> None:
     body = make_wav_bytes(args.seconds)
 
     # Warmup: compile the text tower + streaming block program.
-    warm = measure(port, make_wav_bytes(min(args.seconds, 12.0), seed=1))
+    warm = measure(port, make_wav_bytes(min(args.seconds, 12.0), seed=1),
+                   block_chunks=args.block_chunks)
     print(f"warmup: total {warm['t_total']:.2f}s (incl. compile)")
 
     for run in range(3):
-        m = measure(port, body)
+        m = measure(port, body, block_chunks=args.block_chunks)
         rt = args.seconds / m["t_total"]
         print(f"run {run}: headers {m['t_headers']*1e3:7.1f} ms | "
               f"first-pcm {m['t_first_pcm']*1e3:7.1f} ms | "

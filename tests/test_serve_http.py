@@ -157,6 +157,26 @@ class TestHttpServer:
         np.testing.assert_allclose(stem_s.astype(np.int32),
                                    stem_o.astype(np.int32), atol=1)
 
+    def test_streaming_block_param(self, server):
+        """`?block=N` tunes chunks-per-step without changing the output
+        (offline-equality holds for every block size; the knob is the
+        latency/dispatch trade measured in scripts/stream_latency.py)."""
+        url, _ = server
+        wav_bytes = _make_wav_bytes(t=SR // 2)
+        outs = []
+        for block in ("1", "3", "not-a-number"):   # bad value -> default 8
+            req = urllib.request.Request(
+                f"{url}/api/separate/stream?prompt=vocals&block={block}",
+                data=wav_bytes, headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                body = r.read()
+            assert len(body) == 44 + 4 * (SR // 2)
+            outs.append(np.frombuffer(body[44:], np.int16))
+        np.testing.assert_allclose(outs[0].astype(np.int32),
+                                   outs[1].astype(np.int32), atol=1)
+        np.testing.assert_allclose(outs[0].astype(np.int32),
+                                   outs[2].astype(np.int32), atol=1)
+
     def test_separate_all_zip(self, server):
         """`/api/separate_all` returns the CLI's file layout (one
         extracted_<stem>.wav per stem) via the pipelined PCM path."""
