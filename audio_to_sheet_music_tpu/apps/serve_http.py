@@ -11,6 +11,11 @@ separated stem plus input/output spectrograms — on the standard library's
 Surface:
   ``GET  /``              single-page UI (no external assets)
   ``GET  /api/health``    ``{"status": "ok", "pretrained": ..., ...}``
+  ``GET  /api/metrics``   Prometheus text exposition (or ``?format=json``):
+                          per-endpoint request counts / wall-seconds /
+                          audio-seconds / response bytes, plus device-lock
+                          occupancy and wait time (the single-chip
+                          utilisation signal a deployment scales on).
   ``POST /api/separate``  body = WAV bytes, query ``?prompt=...``; returns
                           ``audio/wav`` by default or, with ``&format=json``,
                           a JSON object carrying the stem WAV and both
@@ -44,6 +49,8 @@ import io
 import json
 import os
 import threading
+import time
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -204,6 +211,84 @@ def _spectrogram_png(wav: np.ndarray, title: str) -> bytes:
     return buf.getvalue()
 
 
+class ServiceMetrics:
+    """Per-endpoint serving counters plus device-lock occupancy.
+
+    Everything is a monotonic counter (Prometheus convention: rates and
+    averages are derived by the scraper), guarded by one mutex so the
+    handler threads of ``ThreadingHTTPServer`` can record concurrently.
+    ``device_busy_seconds`` integrates time the device lock was *held* —
+    on a one-chip server, busy/uptime is the utilisation a deployment
+    scales on; ``device_wait_seconds`` integrates time requests queued
+    for it (the saturation signal)."""
+
+    def __init__(self):
+        self._mu = threading.Lock()
+        self.started = time.time()
+        self.endpoints: dict = {}
+        self.device_busy_seconds = 0.0
+        self.device_wait_seconds = 0.0
+
+    def observe(self, endpoint: str, seconds: float,
+                audio_seconds: float, bytes_out: int) -> None:
+        with self._mu:
+            e = self.endpoints.setdefault(endpoint, {
+                "requests": 0, "seconds": 0.0,
+                "audio_seconds": 0.0, "bytes": 0})
+            e["requests"] += 1
+            e["seconds"] += seconds
+            e["audio_seconds"] += audio_seconds
+            e["bytes"] += bytes_out
+
+    def add_device(self, busy: float, wait: float) -> None:
+        with self._mu:
+            self.device_busy_seconds += busy
+            self.device_wait_seconds += wait
+
+    def snapshot(self) -> dict:
+        with self._mu:
+            return {
+                "uptime_seconds": time.time() - self.started,
+                "device_busy_seconds": self.device_busy_seconds,
+                "device_wait_seconds": self.device_wait_seconds,
+                "endpoints": {k: dict(v) for k, v in self.endpoints.items()},
+            }
+
+    def prometheus(self) -> str:
+        """Text exposition format 0.0.4 (what Prometheus/Grafana scrape)."""
+        s = self.snapshot()
+        lines = [
+            "# HELP atsm_uptime_seconds Seconds since server start.",
+            "# TYPE atsm_uptime_seconds gauge",
+            f"atsm_uptime_seconds {s['uptime_seconds']:.3f}",
+            "# HELP atsm_device_busy_seconds_total Time the device lock "
+            "was held (single-chip utilisation = busy/uptime).",
+            "# TYPE atsm_device_busy_seconds_total counter",
+            f"atsm_device_busy_seconds_total {s['device_busy_seconds']:.3f}",
+            "# HELP atsm_device_wait_seconds_total Time requests queued "
+            "for the device lock (saturation).",
+            "# TYPE atsm_device_wait_seconds_total counter",
+            f"atsm_device_wait_seconds_total {s['device_wait_seconds']:.3f}",
+        ]
+        per = [
+            ("atsm_requests_total", "requests", "counter",
+             "Requests completed.", "{v}"),
+            ("atsm_request_seconds_total", "seconds", "counter",
+             "Wall-clock spent serving.", "{v:.3f}"),
+            ("atsm_audio_seconds_total", "audio_seconds", "counter",
+             "Input audio seconds processed.", "{v:.3f}"),
+            ("atsm_response_bytes_total", "bytes", "counter",
+             "Response payload bytes.", "{v}"),
+        ]
+        for name, key, typ, help_, fmt in per:
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} {typ}")
+            for ep, e in sorted(s["endpoints"].items()):
+                lines.append(f'{name}{{endpoint="{ep}"}} '
+                             + fmt.format(v=e[key]))
+        return "\n".join(lines) + "\n"
+
+
 class SeparationService:
     """Separator + lock: the session's jitted sweep and its host-side OLA
     buffers are single-flight, so concurrent requests queue here."""
@@ -214,7 +299,21 @@ class SeparationService:
         self.pretrained = pretrained
         self.spectrograms = spectrograms
         self._lock = threading.Lock()
+        self.metrics = ServiceMetrics()
         self.requests_served = 0
+
+    @contextmanager
+    def _device(self):
+        """The device lock, instrumented: wait time (queueing) and hold
+        time (occupancy) flow into ``metrics``."""
+        t0 = time.perf_counter()
+        with self._lock:
+            t1 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.metrics.add_device(busy=time.perf_counter() - t1,
+                                        wait=t1 - t0)
 
     def health(self) -> dict:
         return {
@@ -228,19 +327,23 @@ class SeparationService:
     def separate(self, wav_bytes: bytes, prompt: str,
                  want_json: bool) -> tuple[bytes, str]:
         """-> (payload, content_type)."""
+        t_req = time.perf_counter()
         pngs = None
         if not want_json:
             # hot path: int16 upload stays int16 to the device, absolute
             # int16 comes back, bytes go into the WAV verbatim — zero
             # host-side sample passes end to end
             wav = decode_wav_bytes(wav_bytes, prefer_pcm=True)
-            with self._lock:
+            with self._device():
                 pcm = self.separator.separate_pcm(wav, prompt)
                 self.requests_served += 1
-            return (wav_header(pcm.shape[-1])
-                    + np.ascontiguousarray(pcm.T).tobytes(), "audio/wav")
+            payload = (wav_header(pcm.shape[-1])
+                       + np.ascontiguousarray(pcm.T).tobytes())
+            self.metrics.observe("separate", time.perf_counter() - t_req,
+                                 wav.shape[-1] / SAMPLE_RATE, len(payload))
+            return payload, "audio/wav"
         wav = decode_wav_bytes(wav_bytes)
-        with self._lock:
+        with self._device():
             # the lock covers ALL device work for this request — including
             # the jitted spectrogram_db passes — and, because matplotlib's
             # pyplot state machine is not thread-safe, the figure rendering
@@ -261,7 +364,10 @@ class SeparationService:
             out["spec_out_png_b64"] = base64.b64encode(pngs[1]).decode("ascii")
         else:
             out["spec_in_png_b64"] = out["spec_out_png_b64"] = ""
-        return json.dumps(out).encode(), "application/json"
+        payload = json.dumps(out).encode()
+        self.metrics.observe("separate", time.perf_counter() - t_req,
+                             wav.shape[-1] / SAMPLE_RATE, len(payload))
+        return payload, "application/json"
 
     def separate_all_zip(self, wav_bytes: bytes,
                          stems: tuple[str, ...]) -> bytes:
@@ -276,8 +382,9 @@ class SeparationService:
         import re
         import zipfile
 
+        t_req = time.perf_counter()
         wav = decode_wav_bytes(wav_bytes, prefer_pcm=True)
-        with self._lock:
+        with self._device():
             pcm, scales = self.separator.separate_all_pcm(wav, stems=stems)
             self.requests_served += 1
         buf = io.BytesIO()
@@ -295,7 +402,10 @@ class SeparationService:
                 {names[stem]: float(scales[i])
                  for i, stem in enumerate(stems)},
                 indent=2))
-        return buf.getvalue()
+        payload = buf.getvalue()
+        self.metrics.observe("separate_all", time.perf_counter() - t_req,
+                             wav.shape[-1] / SAMPLE_RATE, len(payload))
+        return payload
 
     def separate_stream(self, wav_bytes: bytes, prompt: str, begin, write,
                         block_chunks: int = 8) -> None:
@@ -308,6 +418,7 @@ class SeparationService:
         padded/truncated defensively so the wire length never lies."""
         from ..infer.streaming import StreamingSeparator
 
+        t_req = time.perf_counter()
         wav = decode_wav_bytes(wav_bytes)
         t = wav.shape[-1]
         # construct (incl. the prompt's text-tower pass) BEFORE begin():
@@ -316,7 +427,7 @@ class SeparationService:
         # streaming consumer (playback-paced link) must not starve other
         # requests while its TCP buffer drains.  Each StreamingSeparator
         # carries its own host-side state, so interleaving is safe.
-        with self._lock:
+        with self._device():
             stream = StreamingSeparator(self.separator, stems=(prompt,),
                                         block_chunks=block_chunks)
         begin(44 + 4 * t)
@@ -331,17 +442,20 @@ class SeparationService:
             write(chunk)
 
         for start in range(0, t, feed_step):
-            with self._lock:
+            with self._device():
                 pieces = stream.feed(wav[:, start:start + feed_step])
             for piece in pieces:
                 emit(piece)
-        with self._lock:
+        with self._device():
             tail = stream.flush()
             self.requests_served += 1
         if tail.shape[-1]:
             emit(tail)
         if written < 4 * t:
             write(b"\x00" * (4 * t - written))
+        self.metrics.observe("separate_stream",
+                             time.perf_counter() - t_req,
+                             t / SAMPLE_RATE, 44 + written)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -358,12 +472,21 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self) -> None:  # noqa: N802 - http.server API
-        path = urlparse(self.path).path
+        url = urlparse(self.path)
+        path = url.path
         if path in ("/", "/index.html"):
             self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
         elif path == "/api/health":
             self._send(200, json.dumps(self.service.health()).encode(),
                        "application/json")
+        elif path == "/api/metrics":
+            if parse_qs(url.query).get("format", ["prom"])[0] == "json":
+                self._send(200, json.dumps(
+                    self.service.metrics.snapshot()).encode(),
+                    "application/json")
+            else:
+                self._send(200, self.service.metrics.prometheus().encode(),
+                           "text/plain; version=0.0.4; charset=utf-8")
         else:
             self._send(404, b"not found", "text/plain")
 

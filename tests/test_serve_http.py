@@ -177,6 +177,40 @@ class TestHttpServer:
         np.testing.assert_allclose(outs[0].astype(np.int32),
                                    outs[2].astype(np.int32), atol=1)
 
+    def test_metrics_endpoint(self, server):
+        """/api/metrics: Prometheus text + JSON snapshot reflect served
+        requests, audio seconds, and device-lock occupancy (the signals a
+        production deployment scrapes to decide when to scale)."""
+        url, service = server
+        wav_bytes = _make_wav_bytes(t=SR // 4)
+        req = urllib.request.Request(
+            f"{url}/api/separate?prompt=vocals", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            n_bytes = len(r.read())
+
+        with urllib.request.urlopen(f"{url}/api/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE atsm_requests_total counter" in text
+        assert 'atsm_requests_total{endpoint="separate"}' in text
+        assert "atsm_device_busy_seconds_total" in text
+
+        with urllib.request.urlopen(f"{url}/api/metrics?format=json",
+                                    timeout=30) as r:
+            snap = json.loads(r.read())
+        ep = snap["endpoints"]["separate"]
+        assert ep["requests"] >= 1
+        assert ep["audio_seconds"] >= 0.25 - 1e-6   # this test's request
+        assert ep["bytes"] >= n_bytes
+        assert ep["seconds"] > 0
+        assert snap["device_busy_seconds"] > 0
+        assert snap["uptime_seconds"] > 0
+        # counters are monotonic and the text view agrees with JSON
+        line = next(ln for ln in text.splitlines()
+                    if ln.startswith('atsm_requests_total{endpoint="separate"}'))
+        assert int(line.rsplit(" ", 1)[1]) <= ep["requests"]
+
     def test_separate_all_zip(self, server):
         """`/api/separate_all` returns the CLI's file layout (one
         extracted_<stem>.wav per stem) via the pipelined PCM path."""
