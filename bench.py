@@ -43,11 +43,17 @@ TARGET_REALTIME = 50.0  # BASELINE.json north star, 4-stem realtime per chip
 # diagnostics (round-3 lesson: a bare os._exit produced `parsed: null`).
 _DIAG: dict = {}
 _LIVE_PROBES: list = []   # in-flight init probes, killed by the watchdog
+_EMITTED = False          # once the line is out, late signals must not
+                          # print a second (null) line over it
 
 
 def _emit(value, error: str | None = None, **extra) -> None:
     """Print the ONE JSON line.  ``value=None`` + ``error`` = diagnosed
     failure — still parseable, never a silent abort."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
     payload = {
         "metric": "4stem_separation_throughput",
         "value": value,
@@ -139,10 +145,33 @@ def _deadline_watchdog(seconds: float):
     return done.set
 
 
+def _install_term_handler() -> None:
+    """An external ``timeout``/driver sends SIGTERM before SIGKILL; that is
+    not a Python exception, so without a handler the run dies with NO JSON
+    line (the round-3 ``parsed: null`` failure mode, reachable again if the
+    caller's deadline is shorter than the init-retry budget).  Convert the
+    signal into the diagnostic emit + clean exit."""
+    import signal
+
+    def on_term(signum, frame):  # noqa: ARG001 - signal API
+        for p in list(_LIVE_PROBES):
+            p.kill()
+        _emit(None, error=f"terminated_by_signal_{signum}")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, on_term)
+        except (ValueError, OSError):  # non-main thread / unsupported
+            pass
+
+
 def main() -> None:
     from audio_to_sheet_music_tpu.infer import Separator
     from audio_to_sheet_music_tpu.models import atht
     from audio_to_sheet_music_tpu.text.prompts import STEM_NAMES
+
+    _install_term_handler()
 
     total_budget = float(os.environ.get("ATSM_BENCH_TOTAL_BUDGET", "3000"))
     cancel = (_deadline_watchdog(total_budget) if total_budget > 0

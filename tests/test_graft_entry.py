@@ -152,3 +152,35 @@ def test_bench_deadline_watchdog_emits_parseable_json():
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
     assert payload["value"] is None
     assert payload["error"] == "bench_deadline_exceeded"
+
+
+def test_bench_sigterm_emits_parseable_json():
+    """An external driver deadline (`timeout` sends SIGTERM first) is not a
+    Python exception — bench converts it to the diagnostic line instead of
+    dying silently mid-init-retry (the remaining r3 `parsed: null` path)."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env["ATSM_SIMULATE_WEDGE"] = "1"
+    env["ATSM_BENCH_INIT_BUDGET"] = "3600"
+    env["ATSM_BENCH_INIT_TIMEOUT"] = "3600"
+    env["ATSM_BENCH_TOTAL_BUDGET"] = "0"     # watchdog off: signal path only
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py")],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    try:
+        # wait for the first probe heartbeat so the handler is installed
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stderr.readline()
+            if "device-init probe" in line:
+                break
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        proc.kill()
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["value"] is None
+    assert payload["error"] == "terminated_by_signal_15"
