@@ -338,15 +338,23 @@ def _use_pallas_attn(dim: int) -> bool:
 
 
 def _use_pallas_layer(p: Params) -> bool:
-    """Opt-in fully fused layer kernel (``ATSM_PALLAS_LAYER=1``, TPU only):
-    Q-proj + attention + out-proj + LayerScale + residual + LN + FF in one
-    VMEM pass (ops/pallas_attn.py:layer_tail).  Subsumes — and takes
-    precedence over — ``ATSM_PALLAS_ATTN``."""
+    """Fully fused layer kernel: Q-proj + attention + out-proj + LayerScale
+    + residual + LN + FF in one VMEM pass (ops/pallas_attn.py:layer_tail).
+    Subsumes — and takes precedence over — ``ATSM_PALLAS_ATTN``.
+
+    Tri-state ``ATSM_PALLAS_LAYER``: unset = auto (ON for the TPU backend —
+    a measured +7% forward win with bf16-rounding-grade output delta,
+    docs/PERFORMANCE.md round 4); ``0`` = force the per-op XLA path
+    everywhere; ``1`` = force the kernel on any non-CPU backend."""
     import os
 
-    if os.environ.get("ATSM_PALLAS_LAYER") != "1":
+    v = os.environ.get("ATSM_PALLAS_LAYER")
+    if v == "0":
         return False
-    if jax.default_backend() == "cpu":
+    if v == "1":
+        if jax.default_backend() == "cpu":
+            return False
+    elif jax.default_backend() != "tpu":
         return False
     from ..ops import pallas_attn
 

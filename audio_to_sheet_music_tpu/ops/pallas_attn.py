@@ -17,8 +17,12 @@ does not change, so Mosaic does not re-fetch).  The QKV projections and the
 FF block stay in XLA — single fused LN+matmul programs XLA already runs
 near the conv roofline.
 
-Opt-in via ``ATSM_PALLAS_ATTN=1`` (measured on TPU before being made a
-default; see scripts/bench_pallas_attn.py).  Matches
+The attention-block kernel is opt-in via ``ATSM_PALLAS_ATTN=1``; the fully
+fused *layer* kernel (``layer_tail`` / ``fused_self_layer`` /
+``fused_cross_layer``) is the measured round-4 winner (+7% forward on the
+real chip, scripts/bench_forward_loop.py) and is ON BY DEFAULT on the TPU
+backend — tri-state ``ATSM_PALLAS_LAYER`` (unset=auto, 0=off, 1=force; see
+``models.htdemucs._use_pallas_layer``).  Matches
 ``nn.attention.mha`` + LayerScale + residual semantics bit-for-bit in
 structure: softmax in f32, bf16 MXU operands, per-head scale 1/sqrt(dh).
 

@@ -157,3 +157,38 @@ def test_fused_self_layer_bf16(rng):
     got = H._group_norm_tokens(p["norm_out"], pre)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                atol=0.05, rtol=0.05)
+
+
+def test_pallas_layer_gate_tristate(monkeypatch):
+    """Gate semantics: unset=auto (TPU only), 0=off everywhere, 1=force
+    on any non-CPU backend."""
+    from audio_to_sheet_music_tpu.models import htdemucs as H
+
+    p = H._transformer_layer_init(jax.random.PRNGKey(0), 512, cross=False,
+                                  ff=2048)
+
+    def with_backend(name, env):
+        if env is None:
+            monkeypatch.delenv("ATSM_PALLAS_LAYER", raising=False)
+        else:
+            monkeypatch.setenv("ATSM_PALLAS_LAYER", env)
+        monkeypatch.setattr(jax, "default_backend", lambda: name)
+        return H._use_pallas_layer(p)
+
+    assert with_backend("tpu", None) is True      # auto: default-on for TPU
+    assert with_backend("cpu", None) is False     # auto: off for CPU
+    assert with_backend("gpu", None) is False     # auto: TPU only
+    assert with_backend("tpu", "0") is False      # kill switch
+    assert with_backend("cpu", "1") is False      # force never covers CPU
+    assert with_backend("gpu", "1") is True       # force covers non-CPU
+
+
+def test_pallas_layer_gate_respects_supports(monkeypatch):
+    """Auto mode still defers to supports_layer (odd dims stay on XLA)."""
+    from audio_to_sheet_music_tpu.models import htdemucs as H
+
+    monkeypatch.delenv("ATSM_PALLAS_LAYER", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    p = H._transformer_layer_init(jax.random.PRNGKey(0), 48, cross=False,
+                                  ff=96)
+    assert H._use_pallas_layer(p) is False
