@@ -82,14 +82,17 @@ def main() -> None:
     GATES = ("ATSM_PALLAS_DCONV", "ATSM_FAST_ENC", "ATSM_FAST_DCONV",
              "ATSM_PALLAS_ATTN", "ATSM_PALLAS_LAYER")
     VARIANTS = {
-        "baseline": {},
-        "pallas_dconv": {"ATSM_PALLAS_DCONV": "1"},
-        "fast_enc": {"ATSM_FAST_ENC": "1"},
-        "fast_dconv": {"ATSM_FAST_DCONV": "1"},
-        "pallas_attn": {"ATSM_PALLAS_ATTN": "1"},
+        # ATSM_PALLAS_LAYER is tri-state with auto-ON for TPU, so the XLA
+        # baseline must pin it off explicitly.
+        "baseline": {"ATSM_PALLAS_LAYER": "0"},
+        "default": {},           # whatever the backend's auto gates choose
+        "pallas_dconv": {"ATSM_PALLAS_DCONV": "1", "ATSM_PALLAS_LAYER": "0"},
+        "fast_enc": {"ATSM_FAST_ENC": "1", "ATSM_PALLAS_LAYER": "0"},
+        "fast_dconv": {"ATSM_FAST_DCONV": "1", "ATSM_PALLAS_LAYER": "0"},
+        "pallas_attn": {"ATSM_PALLAS_ATTN": "1", "ATSM_PALLAS_LAYER": "0"},
         "pallas_layer": {"ATSM_PALLAS_LAYER": "1"},
         "all_fast": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
-                     "ATSM_PALLAS_ATTN": "1"},
+                     "ATSM_PALLAS_ATTN": "1", "ATSM_PALLAS_LAYER": "0"},
         "all_fast_layer": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
                            "ATSM_PALLAS_LAYER": "1"},
     }
