@@ -218,6 +218,20 @@ def main() -> None:
     print(f"tunnel D2H: {bw1:.0f} MB/s single-stream, "
           f"{bw4:.0f} MB/s 4-stream aggregate", file=sys.stderr)
 
+    # Adaptive stream count: good weather is per-stream limited (4 streams
+    # ~3x one), but a congested tunnel serialises anyway and the extra
+    # streams only add overhead (observed: 14.4 MB/s aggregate < 16.4
+    # single).  The separator reads ATSM_FETCH_STREAMS at fetch time, so
+    # choosing here applies to the timed runs.  User-set env wins.
+    if "ATSM_FETCH_STREAMS" not in os.environ and bw4 < 1.15 * bw1:
+        os.environ["ATSM_FETCH_STREAMS"] = "1"
+        _DIAG["fetch_streams"] = 1
+        print("congested tunnel: multi-stream gain absent, "
+              "using 1 fetch stream", file=sys.stderr)
+    else:
+        _DIAG["fetch_streams"] = int(os.environ.get("ATSM_FETCH_STREAMS",
+                                                    "4"))
+
     # Best of 5: the TPU tunnel's device<->host throughput is noisy; the
     # best run reflects device capability rather than tunnel weather.
     times = []
