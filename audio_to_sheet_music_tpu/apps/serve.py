@@ -173,7 +173,10 @@ def main() -> None:
         print(f"warming the sweep for <= {args.warmup_seconds:.0f} s songs "
               "(first compile can take minutes; cached afterwards)...")
         sep.separate(np.zeros((2, t), np.float32), "vocals")
-        print("warmup done")
+        tune = type(sep).autotune_fetch_streams()
+        print(f"warmup done; D2H {tune['single_MBps']:.0f} MB/s single vs "
+              f"{tune['multi_MBps']:.0f} aggregate -> {tune['streams']} "
+              "fetch stream(s)")
     if ui == "gradio":
         create_demo(sep).launch(server_name=args.host, server_port=args.port)
     else:

@@ -204,33 +204,18 @@ def main() -> None:
     # stream and 4-stream aggregate (the tunnel is per-stream limited; the
     # serving path fetches over concurrent row-slice streams).  The 4-stem
     # PCM payload is ~42 MB, so throughput tracks the aggregate number.
-    probe = jax.numpy.asarray(np.tile(song, (4, 1))) + 1   # fresh buffer
-    np.asarray(probe[:1, :4])
-    t0 = time.perf_counter()
-    np.asarray(probe)
-    bw1 = probe.nbytes / (time.perf_counter() - t0) / 1e6
-    probe = probe + 1                                       # fresh buffer
-    t0 = time.perf_counter()
-    Separator._fetch_array(probe, nsplit=4)
-    bw4 = probe.nbytes / (time.perf_counter() - t0) / 1e6
-    _DIAG["d2h_single_MBps"] = round(bw1, 1)
-    _DIAG["d2h_multi_MBps"] = round(bw4, 1)
-    print(f"tunnel D2H: {bw1:.0f} MB/s single-stream, "
-          f"{bw4:.0f} MB/s 4-stream aggregate", file=sys.stderr)
-
     # Adaptive stream count: good weather is per-stream limited (4 streams
     # ~3x one), but a congested tunnel serialises anyway and the extra
     # streams only add overhead (observed: 14.4 MB/s aggregate < 16.4
     # single).  The separator reads ATSM_FETCH_STREAMS at fetch time, so
     # choosing here applies to the timed runs.  User-set env wins.
-    if "ATSM_FETCH_STREAMS" not in os.environ and bw4 < 1.15 * bw1:
-        os.environ["ATSM_FETCH_STREAMS"] = "1"
-        _DIAG["fetch_streams"] = 1
-        print("congested tunnel: multi-stream gain absent, "
-              "using 1 fetch stream", file=sys.stderr)
-    else:
-        _DIAG["fetch_streams"] = int(os.environ.get("ATSM_FETCH_STREAMS",
-                                                    "4"))
+    tune = Separator.autotune_fetch_streams(nsplit=4, size_mb=42.0)
+    _DIAG["d2h_single_MBps"] = tune["single_MBps"]
+    _DIAG["d2h_multi_MBps"] = tune["multi_MBps"]
+    _DIAG["fetch_streams"] = tune["streams"]
+    print(f"tunnel D2H: {tune['single_MBps']:.0f} MB/s single-stream, "
+          f"{tune['multi_MBps']:.0f} MB/s 4-stream aggregate -> "
+          f"{tune['streams']} fetch stream(s)", file=sys.stderr)
 
     # Best of 5: the TPU tunnel's device<->host throughput is noisy; the
     # best run reflects device capability rather than tunnel weather.

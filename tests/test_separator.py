@@ -256,3 +256,38 @@ class TestSeparatePcm:
         a = sep.separate_pcm(song_i, "drums")
         b = sep.separate_pcm(song_i.astype(np.float32) / 32768.0, "drums")
         np.testing.assert_array_equal(a, b)
+
+
+class TestAutotuneFetchStreams:
+    def test_user_env_wins(self, monkeypatch):
+        monkeypatch.setenv("ATSM_FETCH_STREAMS", "2")
+        tune = Separator.autotune_fetch_streams(size_mb=0.01)
+        assert tune["user_set"] is True
+        assert tune["streams"] == 2
+        import os
+        assert os.environ["ATSM_FETCH_STREAMS"] == "2"
+
+    def test_congested_link_drops_to_one_stream(self, monkeypatch):
+        import os
+        import time as _t
+
+        monkeypatch.delenv("ATSM_FETCH_STREAMS", raising=False)
+        real = Separator._fetch_array.__func__
+
+        def slow_fetch(cls, src, nsplit=None):
+            _t.sleep(0.05)                 # multi-stream shows no gain
+            return real(cls, src, nsplit)
+
+        monkeypatch.setattr(Separator, "_fetch_array",
+                            classmethod(slow_fetch))
+        tune = Separator.autotune_fetch_streams(size_mb=0.01)
+        assert tune["streams"] == 1
+        assert os.environ.get("ATSM_FETCH_STREAMS") == "1"
+        assert tune["multi_MBps"] < tune["single_MBps"]
+
+    def test_returns_measurements(self, monkeypatch):
+        monkeypatch.delenv("ATSM_FETCH_STREAMS", raising=False)
+        tune = Separator.autotune_fetch_streams(size_mb=0.01)
+        assert set(tune) == {"single_MBps", "multi_MBps", "streams",
+                             "user_set"}
+        assert tune["single_MBps"] > 0 and tune["multi_MBps"] > 0
