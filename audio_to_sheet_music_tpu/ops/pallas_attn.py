@@ -42,7 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QT = 128          # query rows per grid step (MXU-aligned)
+import os as _os
+
+# Query rows per grid step (MXU-aligned).  Env-tunable for A/B sweeps
+# (`ATSM_PALLAS_QT`, read once at import): 128 measured best at the
+# production shapes (scripts/bench_pallas_attn.py --sweep-qt).
+QT = int(_os.environ.get("ATSM_PALLAS_QT", "128"))
 LANE = 128        # last-dim tile
 
 
