@@ -22,7 +22,7 @@ Subpackages
 - ``utils``    — config loading, plotting, optional wandb logging.
 """
 
-__version__ = "0.3.0"       # keep in sync with pyproject.toml
+__version__ = "0.4.0"       # keep in sync with pyproject.toml
 
 
 def _enable_compile_cache() -> None:
