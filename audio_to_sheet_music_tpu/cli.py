@@ -90,11 +90,13 @@ def benchmark_main() -> None:
                 registry["AudioTextHTDemucs (Ours, random head)"] = OursModel(
                     rnd, pretrained=False)
             elif name == "htdemucs":
-                registry["HTDemucs (pretrained)"] = HTDemucsBaseline(
-                    params["htdemucs"])
+                m = HTDemucsBaseline(params["htdemucs"],
+                                     pretrained=pretrained)
+                registry[m.name] = m
             elif name == "clapsep":
-                registry["CLAPSep"] = CLAPSepModel(
-                    clap_params=params["clap"], pretrained=pretrained)
+                m = CLAPSepModel(clap_params=params["clap"],
+                                 pretrained=pretrained)
+                registry[m.name] = m
         except RuntimeError as e:   # graceful skip (reference :977-980)
             print(f"skipping {name}: {e}")
 

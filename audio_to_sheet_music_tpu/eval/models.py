@@ -56,11 +56,14 @@ class HTDemucsBaseline(SeparationModel):
     (`benchmark.py:251`); here the same protocol through our chunk sweep.
     """
 
-    name = "HTDemucs (pretrained)"
-
     def __init__(self, params, segment_seconds: float = 7.8,
                  overlap_ratio: float = 0.25, compute_dtype=None,
-                 sample_rate: int = 44100):
+                 sample_rate: int = 44100, pretrained: bool = False):
+        # Honest labelling: "(pretrained)" ONLY when the caller actually
+        # loaded converted checkpoint weights — committed artifacts must
+        # not claim weights they don't have.
+        self.name = ("HTDemucs (pretrained)" if pretrained
+                     else "HTDemucs (random init)")
         self.params = params
         self.segment = int(segment_seconds * sample_rate)
         self.overlap = int(self.segment * overlap_ratio)
@@ -116,8 +119,6 @@ class CLAPSepModel(SeparationModel):
     by duplication.
     """
 
-    name = "CLAPSep (Baseline)"
-
     def __init__(self, clap_params=None, weights: str | None = None,
                  cfg=None, tokenizer=None, chunk_seconds: float | None = None,
                  overlap_seconds: float | None = None,
@@ -137,6 +138,11 @@ class CLAPSepModel(SeparationModel):
                                 if overlap_seconds is None
                                 else overlap_seconds)
         weights = weights or os.environ.get("ATSM_CLAPSEP_CKPT")
+        # Honest labelling, same rule as HTDemucsBaseline: only claim a
+        # checkpoint when the separator's own weights are actually loaded
+        # (``pretrained`` alone covers just the CLAP text tower/tokenizer).
+        self.name = ("CLAPSep (Baseline)" if weights
+                     else "CLAPSep (random init)")
         params = clapsep.clapsep_init(jax.random.PRNGKey(0), self.cfg)
         if weights:
             from pathlib import Path

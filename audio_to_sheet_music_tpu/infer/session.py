@@ -95,6 +95,15 @@ class Separator:
         else:
             self.bucket = "auto"
         self.params = params
+        # On-hardware parity gate for the default-on fused Pallas layer
+        # kernel (ops/kernel_gate.py): runs ONCE per process before any
+        # production sweep traces; on divergence it vetoes the kernel so
+        # this session serves correct (slower) stems instead of corrupt
+        # ones.  No-ops on CPU / tiny towers / ATSM_SKIP_PARITY_GATE=1.
+        from ..ops import kernel_gate
+
+        kernel_gate.ensure_layer_parity(params,
+                                        compute_dtype=self.compute_dtype)
         self.wire_pcm16 = wire_dtype == "pcm16"
         self.wire_dtype = (np.dtype(np.int16) if self.wire_pcm16
                            else np.dtype(wire_dtype))

@@ -428,6 +428,23 @@ def static_plan(t: int) -> Dict[str, Any]:
     return {"lengths": lengths, "lengths_t": lengths_t, "original_length": t}
 
 
+def encode_mixture_jit(params, wav, compute_dtype=jnp.float32):
+    """``encode_mixture`` with the jit boundary handled: array outputs go
+    through ``jax.jit`` (the static Python-int plan keys cannot — they would
+    turn the decoders' static shape checks into traced booleans), and the
+    plan for this length is rebuilt host-side from ``static_plan``.
+
+    Returns ``(arrays, plan)``; ``{**arrays, **plan}`` is a full
+    ``encode_mixture`` result.  The canonical encode/head split for tooling
+    (profilers, tracers) — hoisted here so the split semantics cannot drift
+    between scripts (advisor finding, round 4)."""
+    arrays = jax.jit(
+        lambda p, w: {k: v for k, v in
+                      encode_mixture(p, w, compute_dtype).items()
+                      if k not in ENC_STATIC_KEYS})(params, wav)
+    return dict(jax.block_until_ready(arrays)), static_plan(wav.shape[-1])
+
+
 def _expand(v: jnp.ndarray, b: int) -> jnp.ndarray:
     """Broadcast a batch-``b0`` tensor to batch ``b = k*b0`` (stem-tiling
     without materialisation — XLA fuses the broadcast into consumers)."""

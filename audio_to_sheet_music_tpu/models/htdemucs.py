@@ -337,6 +337,24 @@ def _use_pallas_attn(dim: int) -> bool:
     return pallas_attn.supports(dim, _n_heads(dim))
 
 
+# Process-wide kernel veto, set by the on-hardware parity gate
+# (ops/kernel_gate.py) when the fused layer kernel diverges from the per-op
+# path on the live backend: serving a ~7% slower forward beats serving
+# corrupt stems.  Read at trace time by ``_use_pallas_layer``; the gate runs
+# before any production program traces (Separator/bench construction).
+_PALLAS_LAYER_VETO: str | None = None
+
+
+def veto_pallas_layer(reason: str) -> None:
+    """Disable the fused layer kernel for the rest of the process."""
+    global _PALLAS_LAYER_VETO
+    _PALLAS_LAYER_VETO = reason
+
+
+def pallas_layer_vetoed() -> bool:
+    return _PALLAS_LAYER_VETO is not None
+
+
 def _use_pallas_layer(p: Params) -> bool:
     """Fully fused layer kernel: Q-proj + attention + out-proj + LayerScale
     + residual + LN + FF in one VMEM pass (ops/pallas_attn.py:layer_tail).
@@ -345,9 +363,12 @@ def _use_pallas_layer(p: Params) -> bool:
     Tri-state ``ATSM_PALLAS_LAYER``: unset = auto (ON for the TPU backend —
     a measured +7% forward win with bf16-rounding-grade output delta,
     docs/PERFORMANCE.md round 4); ``0`` = force the per-op XLA path
-    everywhere; ``1`` = force the kernel on any non-CPU backend."""
+    everywhere; ``1`` = force the kernel on any non-CPU backend.  A parity
+    veto (``veto_pallas_layer``) overrides everything, including ``1``."""
     import os
 
+    if _PALLAS_LAYER_VETO is not None:
+        return False
     v = os.environ.get("ATSM_PALLAS_LAYER")
     if v == "0":
         return False

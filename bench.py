@@ -169,6 +169,7 @@ def _install_term_handler() -> None:
 def main() -> None:
     from audio_to_sheet_music_tpu.infer import Separator
     from audio_to_sheet_music_tpu.models import atht
+    from audio_to_sheet_music_tpu.ops import kernel_gate
     from audio_to_sheet_music_tpu.text.prompts import STEM_NAMES
 
     _install_term_handler()
@@ -183,7 +184,16 @@ def main() -> None:
     jax.devices()   # probe succeeded; in-process init, under the deadline
     _DIAG["init_inprocess_sec"] = round(time.perf_counter() - t0, 1)
     params = atht.init(jax.random.PRNGKey(0))
+    # Separator construction runs the on-hardware Pallas parity gate
+    # (ops/kernel_gate.py): per-op vs fused-layer forward on THIS chip at
+    # the active ATSM_PALLAS_QT.  Recorded in the JSON; on failure the
+    # kernel is vetoed and the bench measures the per-op fallback.
     sep = Separator(params)
+    gate = kernel_gate.last_result()
+    if gate is not None:
+        _DIAG["pallas_parity_rms"] = round(gate["rms"], 8)
+        _DIAG["pallas_parity_ok"] = gate["ok"]
+        _DIAG["pallas_qt"] = gate["qt"]
 
     rng = np.random.default_rng(0)
     t = SONG_SECONDS * SAMPLE_RATE
@@ -217,8 +227,9 @@ def main() -> None:
           f"{tune['multi_MBps']:.0f} MB/s 4-stream aggregate -> "
           f"{tune['streams']} fetch stream(s)", file=sys.stderr)
 
-    # Best of 5: the TPU tunnel's device<->host throughput is noisy; the
-    # best run reflects device capability rather than tunnel weather.
+    # 5 timed runs: the TPU tunnel's device<->host throughput is noisy.
+    # The median is the headline (robust comparison anchor); the best run
+    # is kept as the device-capability ceiling.
     times = []
     for _ in range(5):
         start = time.perf_counter()
@@ -227,7 +238,10 @@ def main() -> None:
         times.append(time.perf_counter() - start)
         _DIAG["runs_sec"] = [round(t, 3) for t in times]
     print(f"runs: {[round(t, 2) for t in times]}s", file=sys.stderr)
-    elapsed = min(times)
+    # Headline = MEDIAN of 5 (the robust comparison anchor across rounds);
+    # best-of-5 is disclosed alongside as the device-capability ceiling —
+    # the spread is tunnel D2H weather (README "variance model").
+    elapsed = float(np.median(times))
 
     # MFU diagnostic (VERDICT r2 #1): XLA cost-analysis FLOPs of the full
     # dispatched schedule vs wall-clock.  End-to-end MFU includes the D2H
@@ -247,11 +261,9 @@ def main() -> None:
     audio_sec = SONG_SECONDS * len(STEM_NAMES)
     value = audio_sec / elapsed
     cancel()
-    # Headline = best of 5 (device capability; the spread is tunnel D2H
-    # weather, README "variance model"), with the full evidence alongside:
-    # median, every run, and the measured tunnel bandwidths this session.
+    # value/vs_baseline = median-of-5; "best" is the capability ceiling.
     _emit(round(value, 2),
-          median=round(audio_sec / float(np.median(times)), 2))
+          best=round(audio_sec / min(times), 2))
 
 
 if __name__ == "__main__":

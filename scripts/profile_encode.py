@@ -90,13 +90,7 @@ def main() -> None:
     r = timed(encode_full, params, wav, warmup=1, iters=3)
     print(f"  fused encode total: {r['best_s']*1e3:7.1f} ms")
 
-    @jax.jit
-    def enc_arrays_fn(p, w):
-        enc = atht.encode_mixture(p, w, dtype)
-        return {k: v for k, v in enc.items() if k not in atht.ENC_STATIC_KEYS}
-
-    enc = jax.block_until_ready(enc_arrays_fn(params, wav))
-    plan = atht.static_plan(t)
+    enc, plan = atht.encode_mixture_jit(params, wav, dtype)
     emb = jnp.zeros((b, 512), jnp.float32)
 
     @jax.jit

@@ -43,13 +43,7 @@ def main() -> None:
     wav = jnp.asarray(0.1 * rng.standard_normal((b, 2, t)), jnp.float32)
     emb = jnp.zeros((b, 512), jnp.float32)
 
-    @jax.jit
-    def enc_arrays_fn(p, w):
-        enc = atht.encode_mixture(p, w, dtype)
-        return {k: v for k, v in enc.items() if k not in atht.ENC_STATIC_KEYS}
-
-    enc = jax.block_until_ready(enc_arrays_fn(params, wav))
-    plan = atht.static_plan(t)
+    enc, plan = atht.encode_mixture_jit(params, wav, dtype)
     encs = {**enc, **plan}
     fq, t_spec = encs["mag"].shape[-2:]
 

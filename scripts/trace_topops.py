@@ -50,16 +50,10 @@ def build_stage(stage: str, chunks: int):
             enc = atht.encode_mixture(params, wav, dtype)
             return enc["x_enc"].sum().astype(jnp.float32)
     elif stage == "head":
-        # Arrays through jit; the static Python-int plan (lengths) is
-        # re-attached from the closure (same split as profile_head.py —
-        # returning them through jit would turn the decoders' static shape
-        # checks into traced booleans).
-        enc = jax.jit(
-            lambda p, w: {k: v for k, v in
-                          atht.encode_mixture(p, w, dtype).items()
-                          if k not in atht.ENC_STATIC_KEYS})(params, wav)
-        enc = dict(jax.tree.map(jnp.asarray, enc),
-                   **atht.static_plan(wav.shape[-1]))
+        # Canonical encode/head jit split (atht.encode_mixture_jit): arrays
+        # through jit, static Python-int plan re-attached from the closure.
+        arrays, plan = atht.encode_mixture_jit(params, wav, dtype)
+        enc = {**arrays, **plan}
 
         @jax.jit
         def fn(params, _wav, embs, enc=enc):

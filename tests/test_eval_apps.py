@@ -148,6 +148,24 @@ class TestHTDemucsBaseline:
         single = model.separate(song, "drums")
         np.testing.assert_allclose(single, stems["drums"], atol=1e-5)
 
+    def test_baseline_name_is_honest_about_weights(self):
+        """Committed artifacts must not claim pretrained weights that were
+        never loaded (round-4 verdict weak #3)."""
+        import jax
+        import jax.numpy as jnp
+
+        from audio_to_sheet_music_tpu.eval.models import HTDemucsBaseline
+        from audio_to_sheet_music_tpu.models import htdemucs
+
+        tiny = htdemucs.htdemucs_init(jax.random.PRNGKey(0),
+                                      channels=(8, 16, 24, 32),
+                                      bottom_channels=64, t_layers=2)
+        rand = HTDemucsBaseline(tiny, compute_dtype=jnp.float32)
+        assert rand.name == "HTDemucs (random init)"
+        real = HTDemucsBaseline(tiny, compute_dtype=jnp.float32,
+                                pretrained=True)
+        assert real.name == "HTDemucs (pretrained)"
+
 
 class TestServeApp:
     """Gradio-free pieces of apps/serve.py (reference `app.py:113-126, 205-249`)."""
