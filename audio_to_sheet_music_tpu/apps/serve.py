@@ -182,8 +182,16 @@ def main() -> None:
     else:
         from .serve_http import SeparationService, serve
 
-        serve(SeparationService(sep, pretrained=sep.pretrained),
-              args.host, args.port)
+        service = SeparationService(sep, pretrained=sep.pretrained)
+        if args.warmup_seconds > 0:
+            # fix the ?block=auto streaming default from the measured
+            # per-dispatch floor (two short silence blocks, compile cached)
+            tune = service.autotune_stream_block()
+            print(f"stream block auto={tune['block']} "
+                  f"(floor {tune['floor_s']*1e3:.0f} ms + "
+                  f"{tune['per_chunk_s']*1e3:.0f} ms/chunk -> first audio "
+                  f"~{tune['first_audio_s']:.2f} s)")
+        serve(service, args.host, args.port)
 
 
 if __name__ == "__main__":

@@ -353,3 +353,103 @@ class TestCodecs:
         out = serve_http.decode_wav_bytes(_pcm_wav_bytes(mono, 22050))
         assert out.shape == (2, 22050)
         np.testing.assert_allclose(out[0], out[1])
+
+
+class TestStreamBlockAuto:
+    """Auto-tuned streaming block size (round-4 verdict #8): the default
+    comes from a warmup-measured dispatch model; ``?block=N`` overrides."""
+
+    def test_policy_latency_budget_picks_largest_under_budget(self):
+        # floor 65 ms + 150 ms/chunk, hop 4.5 s: largest b with
+        # 0.065 + 0.15b <= 1.5 is 9, and 9*4.5/1.415 = 28.6x >= 8x.
+        assert serve_http.pick_stream_block(0.065, 0.15, 4.5) == 9
+
+    def test_policy_compute_bound_stays_small(self):
+        # per-chunk dominates (throughput is flat in b): no reason to
+        # grow the block past the latency budget.
+        assert serve_http.pick_stream_block(0.0, 2.0, 4.5) == 1
+
+    def test_policy_throughput_floor_escalates_past_budget(self):
+        # enormous dispatch floor, tiny hop: the largest block inside the
+        # 1.5 s budget cannot keep 8x realtime, so latency yields and the
+        # block grows as long as throughput keeps improving.
+        b = serve_http.pick_stream_block(1.4, 0.01, 0.1)
+        assert b > 10          # escalated beyond the budget choice
+        assert b <= 64
+
+    def test_policy_respects_max_block(self):
+        assert serve_http.pick_stream_block(0.0, 1e-6, 4.5,
+                                            max_block=16) == 16
+
+    def test_static_default_without_autotune(self, server):
+        _, service = server
+        svc = serve_http.SeparationService(service.separator,
+                                           pretrained=False)
+        assert svc.stream_block_default() == svc.STATIC_STREAM_BLOCK
+
+    def test_autotune_measures_and_fixes_default(self, server):
+        _, service = server
+        tune = service.autotune_stream_block(candidates=(1, 2))
+        assert set(tune) >= {"block", "floor_s", "per_chunk_s",
+                             "first_audio_s", "measured_s"}
+        assert tune["block"] >= 1 and tune["per_chunk_s"] > 0
+        assert len(tune["measured_s"]) == 2
+        assert service.stream_block_default() == tune["block"]
+        # health surfaces the measured choice
+        assert service.health()["stream_block"] == tune["block"]
+        service._stream_auto = None     # restore for other module tests
+
+    def test_autotune_warms_the_chosen_block(self, server, monkeypatch):
+        # The chosen block may differ from both measured candidates; the
+        # autotune must pre-compile IT too, or the first streaming client
+        # pays the full sweep compile (~100 s cold on the TPU tunnel).
+        _, service = server
+        from audio_to_sheet_music_tpu.infer import streaming as streaming_mod
+
+        built = []
+        orig_cls = streaming_mod.StreamingSeparator
+
+        class Spy(orig_cls):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                built.append(self.block_chunks)
+
+        monkeypatch.setattr(streaming_mod, "StreamingSeparator", Spy)
+        monkeypatch.setattr(serve_http, "pick_stream_block",
+                            lambda *a, **kw: 5)
+        try:
+            tune = service.autotune_stream_block(candidates=(1, 2))
+            assert tune["block"] == 5
+            assert 5 in built, "chosen block was not pre-compiled"
+        finally:
+            service._stream_auto = None
+
+    def test_block_auto_resolves_via_service_default(self, server):
+        url, service = server
+        calls = []
+        orig = service.stream_block_default
+
+        def spy():
+            calls.append(1)
+            return orig()
+
+        service.stream_block_default = spy
+        try:
+            wav_bytes = _make_wav_bytes(t=SR // 4)
+            # no block param -> auto -> service default consulted
+            req = urllib.request.Request(
+                f"{url}/api/separate/stream?prompt=vocals",
+                data=wav_bytes, headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert len(r.read()) == 44 + 4 * (SR // 4)
+            assert calls, "auto default was not consulted"
+            # explicit block -> override, default NOT consulted
+            calls.clear()
+            req = urllib.request.Request(
+                f"{url}/api/separate/stream?prompt=vocals&block=2",
+                data=wav_bytes, headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert len(r.read()) == 44 + 4 * (SR // 4)
+            assert not calls
+        finally:
+            service.stream_block_default = orig
