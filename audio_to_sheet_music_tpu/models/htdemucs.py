@@ -171,6 +171,58 @@ def _use_fast_enc() -> bool:
     return os.environ.get("ATSM_FAST_ENC") == "1"
 
 
+# Process-wide veto for the fused encoder-layer kernel, set by the
+# on-hardware parity gate (ops/kernel_gate.py) alongside the layer-kernel
+# veto: on divergence the gate disables BOTH hand-written kernels.
+_PALLAS_ENC_VETO: str | None = None
+
+
+def veto_pallas_enc(reason: str) -> None:
+    """Disable the fused encoder kernel for the rest of the process."""
+    global _PALLAS_ENC_VETO
+    _PALLAS_ENC_VETO = reason
+
+
+def pallas_enc_vetoed() -> bool:
+    return _PALLAS_ENC_VETO is not None
+
+
+def _pallas_enc_mode() -> str | None:
+    """Fused frequency HEncLayer kernel: strided conv + GELU + DConv +
+    rewrite + GLU in one VMEM pass (ops/pallas_enc.py) — the round-4
+    roofline's shallow-encoder fix, where repacking can't break XLA's
+    surrounding fusion because the fusion lives inside the kernel.
+
+    The kernel only *wins* at layer 0 (4->48, the most tile-starved conv:
+    contraction depth 32); deeper layers measured slower than XLA's per-op
+    fusion (table in docs/PERFORMANCE.md round 5), so the auto gate applies
+    it to profitable layers only (``ops.pallas_enc.profitable``).
+
+    ``ATSM_PALLAS_ENC``: unset = auto (profitable layers, TPU backend only);
+    ``0`` = force the per-op XLA path; ``1`` = profitable layers on any
+    non-CPU backend; ``all`` = every supported layer (the measured-negative
+    experiment config, kept for A/B reproduction).  A parity veto overrides
+    everything.  Returns ``None`` (off), ``"auto"`` or ``"all"``."""
+    import os
+
+    if _PALLAS_ENC_VETO is not None:
+        return None
+    v = os.environ.get("ATSM_PALLAS_ENC")
+    if v == "0":
+        return None
+    if v == "all":
+        return "all" if jax.default_backend() != "cpu" else None
+    if v == "1":
+        return "auto" if jax.default_backend() != "cpu" else None
+    return "auto" if jax.default_backend() == "tpu" else None
+
+
+def _use_pallas_enc() -> bool:
+    """True when the fused encoder kernel would engage for profitable
+    layers (the kernel_gate/test hook; see ``_pallas_enc_mode``)."""
+    return _pallas_enc_mode() is not None
+
+
 def henc_layer_apply(p: Params, x: jnp.ndarray, freq: bool,
                      inject: jnp.ndarray | None = None) -> jnp.ndarray:
     """HEncLayer: strided conv -> (+inject) -> GELU -> DConv -> rewrite+GLU."""
@@ -178,6 +230,14 @@ def henc_layer_apply(p: Params, x: jnp.ndarray, freq: bool,
         from ..ops import packed_conv
 
         cin = x.shape[1]
+        enc_mode = None if inject is not None else _pallas_enc_mode()
+        if enc_mode is not None:
+            from ..ops import pallas_enc
+
+            cout = p["conv"]["weight"].shape[0]
+            if (pallas_enc.supports(cin, cout, x.shape[2], x.shape[3])
+                    and (enc_mode == "all" or pallas_enc.profitable(cin))):
+                return pallas_enc.henc_freq_fused(p, x)
         if (_use_fast_enc()
                 and packed_conv.supports(cin, KERNEL, STRIDE, x.shape[2],
                                          KERNEL // 4)):

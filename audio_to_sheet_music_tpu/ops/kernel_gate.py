@@ -1,13 +1,15 @@
-"""On-hardware parity gate for the default-on fused Pallas layer kernel.
+"""On-hardware parity gate for the default-on fused Pallas kernels.
 
-The production forward flows through ``ops.pallas_attn.layer_tail`` whenever
-the backend is TPU (``models.htdemucs._use_pallas_layer``), but the kernel's
-equality tests run in interpret mode (CPU emulation) which cannot observe
-Mosaic lowering bugs, and the env-tunable query tile (``ATSM_PALLAS_QT``)
-changes padding/tiling paths.  This gate closes that hole: it runs ONE full
-flagship forward twice on the *actual* backend — per-op XLA path vs fused
-kernel path, same inputs, same params, at the active QT — and compares the
-produced stems.
+The production forward flows through ``ops.pallas_attn.layer_tail`` (the
+transformer layers) and ``ops.pallas_enc.henc_freq_fused`` (the shallow
+frequency encoder layers) whenever the backend is TPU
+(``models.htdemucs._use_pallas_layer`` / ``_use_pallas_enc``), but the
+kernels' equality tests run in interpret mode (CPU emulation) which cannot
+observe Mosaic lowering bugs, and the env-tunable query tile
+(``ATSM_PALLAS_QT``) changes padding/tiling paths.  This gate closes that
+hole: it runs ONE full flagship forward twice on the *actual* backend —
+per-op XLA path vs fused kernel path (all kernels on), same inputs, same
+params, at the active QT — and compares the produced stems.
 
 On divergence beyond the threshold (1e-3 rms on a ~0.1-unit-rms stem; the
 measured healthy delta is ~3e-4, bf16-rounding grade — docs/PERFORMANCE.md)
@@ -76,9 +78,11 @@ def verify_layer_parity(params, compute_dtype=jnp.bfloat16,
     that is ``ensure_layer_parity``'s job.  ``forward``/``args`` override
     the default flagship pair (used by tests to inject a divergent path).
 
-    ``ATSM_PALLAS_LAYER`` is toggled around two *fresh* ``jax.jit`` wrappers
-    (the flag is read at trace time, so each pass needs its own trace); the
-    caller's env value is restored either way.
+    The kernel env flags (``ATSM_PALLAS_LAYER`` + ``ATSM_PALLAS_ENC``) are
+    toggled together around two *fresh* ``jax.jit`` wrappers (the flags are
+    read at trace time, so each pass needs its own trace); the caller's env
+    values are restored either way.  One gate covers every default-on
+    hand-written kernel in the forward.
     """
     from . import pallas_attn
 
@@ -96,17 +100,21 @@ def verify_layer_parity(params, compute_dtype=jnp.bfloat16,
         run.__name__ = f"_parity_{tag}"
         return jax.jit(run)
 
-    saved = os.environ.get("ATSM_PALLAS_LAYER")
+    _FLAGS = ("ATSM_PALLAS_LAYER", "ATSM_PALLAS_ENC")
+    saved = {k: os.environ.get(k) for k in _FLAGS}
     try:
-        os.environ["ATSM_PALLAS_LAYER"] = "0"
+        for k in _FLAGS:
+            os.environ[k] = "0"
         ref = np.asarray(_fresh("perop")(*args), np.float32)
-        os.environ["ATSM_PALLAS_LAYER"] = "1"
+        for k in _FLAGS:
+            os.environ[k] = "1"
         ker = np.asarray(_fresh("kernel")(*args), np.float32)
     finally:
-        if saved is None:
-            os.environ.pop("ATSM_PALLAS_LAYER", None)
-        else:
-            os.environ["ATSM_PALLAS_LAYER"] = saved
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
     rms = float(np.sqrt(np.mean((ref - ker) ** 2)))
     return {
@@ -139,8 +147,10 @@ def ensure_layer_parity(params, compute_dtype=jnp.bfloat16,
 
     if htdemucs.pallas_layer_vetoed():
         return None
-    # Would the kernel even run?  (CPU backends / env "0" -> nothing to gate.)
-    if os.environ.get("ATSM_PALLAS_LAYER") == "0":
+    # Would a kernel even run?  (CPU backends / both envs "0" -> nothing
+    # to gate.)
+    if (os.environ.get("ATSM_PALLAS_LAYER") == "0"
+            and os.environ.get("ATSM_PALLAS_ENC") == "0"):
         return None
     if forward is None:
         if jax.default_backend() == "cpu":
@@ -162,16 +172,19 @@ def ensure_layer_parity(params, compute_dtype=jnp.bfloat16,
                               forward=forward, args=args)
     _RESULT = res
     if not res["ok"]:
-        htdemucs.veto_pallas_layer(
-            f"parity gate failed: rms delta {res['rms']:.3e} >= "
-            f"{threshold:.0e} at QT={res['qt']} on {res['backend']}")
-        msg = ("ATSM PARITY GATE: fused Pallas layer kernel DIVERGES from "
-               f"the per-op path (rms {res['rms']:.3e}, ref_rms "
+        reason = (f"parity gate failed: rms delta {res['rms']:.3e} >= "
+                  f"{threshold:.0e} at QT={res['qt']} on {res['backend']}")
+        htdemucs.veto_pallas_layer(reason)
+        htdemucs.veto_pallas_enc(reason)
+        msg = ("ATSM PARITY GATE: the fused Pallas kernel path DIVERGES "
+               f"from the per-op path (rms {res['rms']:.3e}, ref_rms "
                f"{res['ref_rms']:.3e}, QT={res['qt']}, "
                f"backend={res['backend']}) — falling back to the per-op "
-               "XLA path for this process. Throughput drops ~7%; outputs "
-               "stay correct. Investigate ops/pallas_attn.py vs the "
-               "current jax/Mosaic version and ATSM_PALLAS_QT.")
+               "XLA path for this process (both the layer and encoder "
+               "kernels are vetoed). Throughput drops; outputs stay "
+               "correct. Investigate ops/pallas_attn.py and "
+               "ops/pallas_enc.py vs the current jax/Mosaic version and "
+               "ATSM_PALLAS_QT.")
         print(msg, file=sys.stderr, flush=True)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return res

@@ -94,12 +94,17 @@ def _shift_rows(x, off: int):
     return jnp.concatenate([x[:, :, -off:], zeros], axis=-1)
 
 
-def _block_body(x, blk, dilation: int, mask, n_valid: float):
+def _block_body(x, blk, dilation: int, mask, n_valid: float,
+                dot_dtype=jnp.float32):
     """One DConv depth block on a ``(C, RB, TP)`` f32 tile.
 
     ``x`` must be zero in the pad region; the result is too.
     ``mask``: (1, 1, TP) 1/0 validity; ``n_valid``: valid element count per
     row for the respective GroupNorm (set per tensor below).
+    ``dot_dtype``: matmul *input* precision (accumulation stays f32).  The
+    fused encoder kernel passes bf16 here when its own inputs are bf16 —
+    matching the per-op XLA path's precision at the MXU's native rate;
+    normalisation statistics and activations stay f32 either way.
     """
     c, rb, tp = x.shape
     h = blk["w1"].shape[1]              # w1 ref: (3, H, C)
@@ -110,11 +115,13 @@ def _block_body(x, blk, dilation: int, mask, n_valid: float):
     # reading past t=T-1 correctly see zeros.  Tap weights come from the
     # ref (2-D slice of the (3, H, C) block) — loaded-array rank changes
     # are rejected by Mosaic.
+    xc = x.astype(dot_dtype)
     y1 = jnp.zeros((h, rb * tp), jnp.float32)
     for k in range(3):
-        xs = _shift_rows(x, (1 - k) * dilation)
+        xs = _shift_rows(xc, (1 - k) * dilation)
         y1 = y1 + jax.lax.dot_general(
-            blk["w1"][k], flat(xs), (((1,), (0,)), ((), ())),
+            blk["w1"][k].astype(dot_dtype), flat(xs),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     y1 = (unflat(y1) + blk["b1"][:]) * mask   # bias leaks into pad: mask
     # GroupNorm(1, H): stats per row over the valid (H, T) positions
@@ -127,7 +134,8 @@ def _block_body(x, blk, dilation: int, mask, n_valid: float):
     y1 = _gelu_exact(y1) * mask
     # conv2: (2C, H) @ (H, RB*TP) pointwise
     y2 = jax.lax.dot_general(
-        blk["w2"][:], flat(y1), (((1,), (0,)), ((), ())),
+        blk["w2"][:].astype(dot_dtype), flat(y1).astype(dot_dtype),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y2 = (unflat(y2) + blk["b2"][:]) * mask
     nv2 = 2 * c * n_valid

@@ -12,8 +12,12 @@ slope ``(T(n2) - T(n1)) / (n2 - n1)`` — the floor cancels exactly
 Variants (``--variants``, comma-separated): ``baseline`` and any of the
 opt-in fast paths — ``pallas_dconv`` (fused VMEM DConv kernel),
 ``fast_enc`` (channel-packed layer-0 conv), ``fast_dconv`` (time-packed
-DConv compress dot), ``pallas_attn`` (fused attention block), ``all_fast``
-(the three round-4 gates together).  Env gates are read at trace time, so
+DConv compress dot), ``pallas_attn`` (fused attention block),
+``pallas_layer`` (fused transformer layer), ``pallas_enc`` (fused freq
+encoder kernel at its profitable layer 0), ``pallas_enc_all`` (the kernel
+forced on EVERY supported layer — the recorded negative config),
+``pallas_enc_layer`` (both default-on kernels), ``all_fast`` (the three
+round-4 opt-in gates together).  Env gates are read at trace time, so
 each variant jits its own program pair.
 
 Interleaves variant dispatches A/B/A/B to cancel residual weather.
@@ -80,21 +84,27 @@ def main() -> None:
     n1, n2 = 2, 2 + n
 
     GATES = ("ATSM_PALLAS_DCONV", "ATSM_FAST_ENC", "ATSM_FAST_DCONV",
-             "ATSM_PALLAS_ATTN", "ATSM_PALLAS_LAYER")
+             "ATSM_PALLAS_ATTN", "ATSM_PALLAS_LAYER", "ATSM_PALLAS_ENC")
+    OFF = {"ATSM_PALLAS_LAYER": "0", "ATSM_PALLAS_ENC": "0"}
     VARIANTS = {
-        # ATSM_PALLAS_LAYER is tri-state with auto-ON for TPU, so the XLA
-        # baseline must pin it off explicitly.
-        "baseline": {"ATSM_PALLAS_LAYER": "0"},
+        # ATSM_PALLAS_LAYER / ATSM_PALLAS_ENC are tri-state with auto-ON
+        # for TPU, so the XLA baseline must pin them off explicitly.
+        "baseline": dict(OFF),
         "default": {},           # whatever the backend's auto gates choose
-        "pallas_dconv": {"ATSM_PALLAS_DCONV": "1", "ATSM_PALLAS_LAYER": "0"},
-        "fast_enc": {"ATSM_FAST_ENC": "1", "ATSM_PALLAS_LAYER": "0"},
-        "fast_dconv": {"ATSM_FAST_DCONV": "1", "ATSM_PALLAS_LAYER": "0"},
-        "pallas_attn": {"ATSM_PALLAS_ATTN": "1", "ATSM_PALLAS_LAYER": "0"},
-        "pallas_layer": {"ATSM_PALLAS_LAYER": "1"},
+        "pallas_dconv": {"ATSM_PALLAS_DCONV": "1", **OFF},
+        "fast_enc": {"ATSM_FAST_ENC": "1", **OFF},
+        "fast_dconv": {"ATSM_FAST_DCONV": "1", **OFF},
+        "pallas_attn": {"ATSM_PALLAS_ATTN": "1", **OFF},
+        "pallas_layer": {"ATSM_PALLAS_LAYER": "1", "ATSM_PALLAS_ENC": "0"},
+        "pallas_enc": {"ATSM_PALLAS_ENC": "1", "ATSM_PALLAS_LAYER": "0"},
+        "pallas_enc_all": {"ATSM_PALLAS_ENC": "all",
+                           "ATSM_PALLAS_LAYER": "0"},
+        "pallas_enc_layer": {"ATSM_PALLAS_ENC": "1",
+                             "ATSM_PALLAS_LAYER": "1"},
         "all_fast": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
-                     "ATSM_PALLAS_ATTN": "1", "ATSM_PALLAS_LAYER": "0"},
+                     "ATSM_PALLAS_ATTN": "1", **OFF},
         "all_fast_layer": {"ATSM_FAST_ENC": "1", "ATSM_FAST_DCONV": "1",
-                           "ATSM_PALLAS_LAYER": "1"},
+                           "ATSM_PALLAS_LAYER": "1", "ATSM_PALLAS_ENC": "0"},
     }
     variants = []
     for name in args.variants.split(","):

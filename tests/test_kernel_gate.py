@@ -22,10 +22,13 @@ def _reset_gate_state(monkeypatch):
     """Each test starts with no cached gate result and no kernel veto."""
     monkeypatch.setattr(kernel_gate, "_RESULT", None)
     monkeypatch.setattr(htdemucs, "_PALLAS_LAYER_VETO", None)
+    monkeypatch.setattr(htdemucs, "_PALLAS_ENC_VETO", None)
     monkeypatch.delenv("ATSM_SKIP_PARITY_GATE", raising=False)
     monkeypatch.delenv("ATSM_PALLAS_LAYER", raising=False)
+    monkeypatch.delenv("ATSM_PALLAS_ENC", raising=False)
     yield
     htdemucs._PALLAS_LAYER_VETO = None
+    htdemucs._PALLAS_ENC_VETO = None
 
 
 def _env_dependent_forward(x):
@@ -60,6 +63,11 @@ def test_divergence_vetoes_kernel_with_warning(monkeypatch):
     # ... and without the veto the same config would engage the kernel.
     monkeypatch.setattr(htdemucs, "_PALLAS_LAYER_VETO", None)
     assert htdemucs._use_pallas_layer(p)
+    # The gate vetoes BOTH default-on kernels: the encoder kernel too.
+    assert htdemucs.pallas_enc_vetoed()
+    assert not htdemucs._use_pallas_enc()
+    monkeypatch.setattr(htdemucs, "_PALLAS_ENC_VETO", None)
+    assert htdemucs._use_pallas_enc()    # faked-TPU backend + no veto
 
 
 def test_agreement_passes_and_keeps_kernel():
@@ -67,6 +75,21 @@ def test_agreement_passes_and_keeps_kernel():
         None, forward=_agreeing_forward, args=ARGS)
     assert res is not None and res["ok"] and res["rms"] == 0.0
     assert not htdemucs.pallas_layer_vetoed()
+    assert not htdemucs.pallas_enc_vetoed()
+
+
+def test_verify_toggles_enc_flag_too():
+    """The gate's 'kernel' pass must engage the encoder kernel as well —
+    both env flags are toggled together (one gate covers every default-on
+    kernel)."""
+    def fwd(x):
+        if os.environ.get("ATSM_PALLAS_ENC") == "1":
+            return x + 5e-2
+        return x
+
+    res = kernel_gate.verify_layer_parity(None, forward=fwd, args=ARGS)
+    assert not res["ok"]
+    assert res["rms"] == pytest.approx(5e-2, rel=1e-3)
 
 
 def test_gate_runs_once_per_process():
